@@ -1,0 +1,161 @@
+"""Length-bucketed, static-shape batch loading with threaded prefetch.
+
+Capability parity with the reference's dataset/sampler/loader (reference:
+speech/loader.py:87-150): utterances are bucketed by label length
+(bucket_diff=4), sorted within buckets by (rounded duration, label length) so
+consecutive fixed-size batches are length-homogeneous, and batch *order* is
+shuffled each epoch (reference BatchRandomSampler, loader.py:120-137).
+
+TPU-first differences:
+  * Batches are padded to quantized shapes — time padded up to a multiple of
+    ``time_mult`` frames and labels to a multiple of ``label_mult`` — so XLA
+    sees a small, bounded set of compiled shapes instead of one per batch.
+  * True per-utterance lengths ride along (``input_lengths`` pre-conv frame
+    counts, ``label_lengths``), so losses mask padding exactly instead of the
+    reference's max-length quirk (reference ctc_model.py:43-45).
+  * Prefetch uses a thread pool (the reference forks 4 DataLoader worker
+    processes, loader.py:147); numpy FFT releases the GIL so threads overlap
+    feature extraction with device compute.
+  * Epoch shuffling is seeded and reproducible (multi-host lockstep requires
+    identical batch order on every host).
+
+A batch is a dict of numpy arrays:
+  ``inputs``         (B, T_pad, F) float32 normalized log-spectrograms
+  ``input_lengths``  (B,) int32 true frame counts (pre-convolution)
+  ``labels``         (B, U_pad) int32, zero-padded
+  ``label_lengths``  (B,) int32 true label lengths
+"""
+
+from __future__ import annotations
+
+import collections
+from concurrent.futures import ThreadPoolExecutor
+import random
+from typing import Iterator, Optional
+
+import numpy as np
+
+from speech_tpu.data.manifest import read_data_json
+from speech_tpu.data.preprocessor import Preprocessor
+
+
+def round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+class AudioDataset:
+    """Bucketed, duration-sorted view of a JSONL manifest."""
+
+    def __init__(self, data_json: str, preproc: Preprocessor, batch_size: int,
+                 bucket_diff: int = 4):
+        data = read_data_json(data_json)
+        self.preproc = preproc
+        self.batch_size = batch_size
+
+        max_len = max(len(x["text"]) for x in data)
+        num_buckets = max(1, max_len // bucket_diff)
+        buckets: list[list] = [[] for _ in range(num_buckets)]
+        for d in data:
+            bid = min(len(d["text"]) // bucket_diff, num_buckets - 1)
+            buckets[bid].append(d)
+        sort_fn = lambda x: (round(x["duration"], 1), len(x["text"]))
+        for b in buckets:
+            b.sort(key=sort_fn)
+        self.data = [d for b in buckets for d in b]
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, list[int]]:
+        datum = self.data[idx]
+        return self.preproc.preprocess(datum["audio"], datum["text"])
+
+
+def _collate(examples: list[tuple[np.ndarray, list[int]]], time_mult: int,
+             label_mult: int) -> dict[str, np.ndarray]:
+    """Pad a list of (features, label_ids) to quantized static shapes."""
+    b = len(examples)
+    feat_dim = examples[0][0].shape[1]
+    t_lens = np.array([x.shape[0] for x, _ in examples], dtype=np.int32)
+    u_lens = np.array([len(y) for _, y in examples], dtype=np.int32)
+    t_pad = round_up(int(t_lens.max()), time_mult)
+    u_pad = round_up(max(int(u_lens.max()), 1), label_mult)
+    inputs = np.zeros((b, t_pad, feat_dim), dtype=np.float32)
+    labels = np.zeros((b, u_pad), dtype=np.int32)
+    for i, (x, y) in enumerate(examples):
+        inputs[i, : x.shape[0]] = x
+        labels[i, : len(y)] = y
+    return {
+        "inputs": inputs,
+        "input_lengths": t_lens,
+        "labels": labels,
+        "label_lengths": u_lens,
+    }
+
+
+class Loader:
+    """Iterable over an epoch of static-shape batches, with threaded prefetch."""
+
+    def __init__(self, dataset: AudioDataset, batch_size: int,
+                 num_workers: int = 4, time_mult: int = 100,
+                 label_mult: int = 8, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.time_mult = time_mult
+        self.label_mult = label_mult
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = max(1, prefetch)
+        n = len(dataset)
+        end = n - batch_size + 1 if drop_last else n
+        self.batches = [list(range(i, min(i + batch_size, n)))
+                        for i in range(0, max(end, 0), batch_size)]
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def _make_batch(self, idxs: list[int]) -> dict[str, np.ndarray]:
+        examples = [self.dataset[i] for i in idxs]
+        return _collate(examples, self.time_mult, self.label_mult)
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        order = list(self.batches)
+        random.Random(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            pending = collections.deque()
+            it = iter(order)
+            for idxs in it:
+                pending.append(pool.submit(self._make_batch, idxs))
+                if len(pending) >= self.prefetch:
+                    break
+            while pending:
+                fut = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._make_batch, nxt))
+                yield fut.result()
+        finally:
+            # Abandoned mid-epoch (break in a train loop): drop queued work and
+            # don't block generator close on in-flight features. If the
+            # generator is only collected at interpreter teardown, stdlib
+            # modules may already be gone — nothing to clean up then.
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
+
+
+def make_loader(dataset_json: str, preproc: Preprocessor, batch_size: int,
+                num_workers: int = 4, time_mult: int = 100, label_mult: int = 8,
+                seed: int = 0, drop_last: bool = True,
+                dataset: Optional[AudioDataset] = None) -> Loader:
+    """Build a Loader over a manifest (reference make_loader, loader.py:139-150)."""
+    if dataset is None:
+        dataset = AudioDataset(dataset_json, preproc, batch_size)
+    return Loader(dataset, batch_size, num_workers=num_workers,
+                  time_mult=time_mult, label_mult=label_mult, seed=seed,
+                  drop_last=drop_last)
