@@ -1,0 +1,61 @@
+"""Evaluate a saved model on a dataset manifest.
+
+Usage (reference-compatible, reference eval.py:47-63):
+    python eval.py <model_dir> <dataset.json> [--last] [--save out.json]
+
+Loads the ``best``-tagged checkpoint by default (``--last`` selects the most
+recent untagged one, reference eval.py:55-62), runs batch inference, prints
+corpus CER/PER, and optionally dumps per-utterance predictions as JSONL.
+"""
+
+import argparse
+import json
+
+import speech_tpu
+from speech_tpu.data.loader import make_loader
+from speech_tpu.training.trainer import infer_batch
+from speech_tpu.utils.score import compute_cer
+
+
+def run(model_path: str, dataset_json: str, batch_size: int = 8,
+        tag: str = "best", out_file=None):
+    bundle = speech_tpu.load(model_path, tag=tag)
+    model, params, preproc = bundle.model, bundle.params, bundle.preproc
+    loader = make_loader(dataset_json, preproc, batch_size, drop_last=False)
+
+    all_preds, all_labels = [], []
+    for batch in loader:
+        preds = infer_batch(model, params, batch)
+        for b in range(len(preds)):
+            u = int(batch["label_lengths"][b])
+            all_labels.append(batch["labels"][b, :u].tolist())
+            all_preds.append(preds[b])
+
+    results = [(preproc.decode(l), preproc.decode(p))
+               for l, p in zip(all_labels, all_preds)]
+    cer = compute_cer(results)
+    print(f"CER {cer:.3f}")
+
+    if out_file is not None:
+        with open(out_file, "w") as fid:
+            for label, pred in results:
+                res = {"prediction": pred, "label": label}
+                fid.write(json.dumps(res) + "\n")
+    return cer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate a saved model.")
+    parser.add_argument("model", help="Checkpoint directory (save_path)")
+    parser.add_argument("dataset", help="JSONL manifest to evaluate")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--last", default=False, action="store_true",
+                        help="Use the last saved model instead of the best")
+    parser.add_argument("--save", help="Write per-utterance predictions (JSONL)")
+    args = parser.parse_args()
+    run(args.model, args.dataset, batch_size=args.batch_size,
+        tag=None if args.last else "best", out_file=args.save)
+
+
+if __name__ == "__main__":
+    main()
