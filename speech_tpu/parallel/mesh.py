@@ -1,0 +1,102 @@
+"""Device mesh + sharded training step.
+
+Data-parallel SPMD: the global batch is sharded over the mesh ``data`` axis,
+parameters and optimizer state are replicated, and the batch-mean loss makes
+XLA insert the gradient ``psum`` over ICI automatically (GSPMD). The step
+function is the SAME pure function used single-device (speech_tpu.training.
+trainer.make_train_step builds it unsharded); here it is jitted with explicit
+in/out shardings.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
+each host feeds its local shard of the batch (loader batch order is seeded and
+identical across hosts, SURVEY §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        devices = devices[: n_data * n_model]
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch dict with leading-axis sharding."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad the batch (leading) axis up to a multiple of the data-axis size.
+
+    Padded rows get zero inputs and zero lengths; zero-length utterances
+    contribute a constant to the loss denominator only, and eval code drops
+    them by length. Needed when len(dataset) % (B * n_data) != 0.
+    """
+    b = next(iter(batch.values())).shape[0]
+    target = ((b + multiple - 1) // multiple) * multiple
+    if target == b:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad = [(0, target - b)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(np.asarray(v), pad)
+    return out
+
+
+def make_parallel_train_step(model, tx, mesh: Mesh):
+    """Data-parallel version of training.trainer.make_train_step.
+
+    Parameters/optimizer state replicated, batch sharded on the data axis;
+    XLA inserts the gradient all-reduce. Donates params/opt_state buffers.
+    """
+    import optax
+
+    def loss_fn(params, batch, rng):
+        return model.apply({"params": params}, batch, True, method="loss",
+                           rngs={"dropout": rng})
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def step_fn(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, grad_norm
+
+    batch_shardings = {
+        "inputs": bsh, "input_lengths": bsh, "labels": bsh,
+        "label_lengths": bsh,
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, batch_shardings, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
