@@ -51,8 +51,9 @@ def make_train_step(model, tx) -> Callable:
     """Build the jitted training step: loss, grads, clip, SGD update."""
 
     def loss_fn(params, batch, rng):
+        k_drop, k_sample = jax.random.split(rng)
         return model.apply({"params": params}, batch, True, method="loss",
-                           rngs={"dropout": rng})
+                           rngs={"dropout": k_drop, "sample": k_sample})
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
@@ -77,9 +78,13 @@ def make_eval_step(model) -> Callable:
 
 
 def init_params(model, input_dim: int, rng_key) -> Any:
-    dummy = jnp.zeros((1, 50, input_dim), jnp.float32)
-    lengths = jnp.asarray([50], jnp.int32)
-    variables = model.init(rng_key, dummy, lengths)
+    dummy_batch = {
+        "inputs": jnp.zeros((1, 50, input_dim), jnp.float32),
+        "input_lengths": jnp.asarray([50], jnp.int32),
+        "labels": jnp.zeros((1, 8), jnp.int32),
+        "label_lengths": jnp.asarray([8], jnp.int32),
+    }
+    variables = model.init(rng_key, dummy_batch, method="loss")
     return variables["params"]
 
 
@@ -121,8 +126,21 @@ def run_epoch(model, params, opt_state, train_step, loader: Loader,
     return params, opt_state, it, avg_loss, {"model_t": model_t, "data_t": data_t}
 
 
-def infer_batch(model, params, batch) -> list[list[int]]:
-    """Greedy predictions for a batch (CTC path; other families override)."""
+def infer_batch(model, params, batch, max_len: int = 200) -> list[list[int]]:
+    """Greedy predictions for a batch, dispatched by model family."""
+    from speech_tpu.models.seq2seq import Seq2SeqModel
+
+    if isinstance(model, Seq2SeqModel):
+        ys = model.apply({"params": params}, batch, max_len, method="greedy")
+        ys = np.asarray(ys)
+        out = []
+        for row in ys:
+            toks = row.tolist()
+            # cut at the first </s> after the leading <s>
+            if model.end_idx in toks[1:]:
+                toks = toks[: toks[1:].index(model.end_idx) + 2]
+            out.append(toks)
+        return out
     log_probs, lengths = model.apply({"params": params}, batch,
                                      method="log_probs")
     return ctc_greedy_decode(log_probs, lengths, blank=model.blank)

@@ -97,6 +97,33 @@ def test_resume_continues(trained, tiny_corpus):
     assert state["step"] == 8
 
 
+def test_seq2seq_trains(tiny_corpus, tmp_path):
+    config = tiny_config(tiny_corpus, tmp_path, epochs=3)
+    config["data"]["start_and_end"] = True
+    config["optimizer"]["learning_rate"] = 0.005
+    config["model"] = {
+        "class": "Seq2Seq",
+        "dropout": 0.0,
+        "encoder": {
+            "conv": [[8, 5, 31, 2]],
+            "rnn": {"dim": 24, "layers": 1, "bidirectional": True},
+        },
+        "decoder": {"embedding_dim": 24, "sample_prob": 0.2, "log_t": True},
+    }
+    summary = trainer.run(config, verbose=False)
+    assert np.isfinite(summary["avg_loss"])
+    with open(os.path.join(config["save_path"], "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    losses = [r["value"] for r in recs if r["name"] == "train_loss"]
+    assert losses[-1] < losses[0]
+    # eval surface works for seq2seq too
+    import eval as eval_cli
+
+    cer = eval_cli.run(config["save_path"], config["data"]["dev_set"],
+                       batch_size=3, tag="best")
+    assert cer >= 0.0
+
+
 def test_overfit_small(tiny_corpus, tmp_path):
     """With enough epochs on 6 utterances the model should start matching
     transcripts (loss well below initial)."""
