@@ -1,13 +1,204 @@
-"""RNN transducer model (encoder + prediction network + joint).
+"""RNN transducer: encoder + prediction network + joint network.
 
-Parity target: reference speech/models/transducer_model.py:14-116. Implemented
-in a later milestone of this round; see SURVEY.md §7 step 7.
+Capability parity with the reference ``Transducer`` (reference: speech/models/
+transducer_model.py:14-116): prediction network = embedding -> GRU over labels
+with a zeros vector prepended as the start frame (lines 59-68); joint network
+= ``fc1(x) + fc1(y)`` with ONE shared projection applied to both encoder and
+prediction states (line 73 — a reference quirk kept deliberately, SURVEY §5
+quirks), then ReLU -> fc2 -> log_softmax over the (B, T, U+1, V+1) lattice
+(74-77); blank = vocab_size, the LAST index (28-29).
+
+TPU-first: losses mask true lengths (the reference claims batch-max frames,
+transducer_model.py:81-82); greedy decoding is batched and on-device with
+fixed-shape hypothesis state (the reference moves the full lattice to numpy
+and runs a per-utterance C beam, 92-101 — the batched lattice-free beam lives
+in speech_tpu.decode.rnnt_beam).
 """
 
 from __future__ import annotations
 
+import math
+from typing import Any
 
-class TransducerModel:
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_tpu.models import encoder as enc
+from speech_tpu.ops import rnn as rnn_ops
+from speech_tpu.ops.rnnt import rnnt_loss, rnnt_loss_mean
+
+
+class TransducerModel(nn.Module):
+    encoder: enc.EncoderConfig
+    input_dim: int
+    vocab_size: int  # blank index == vocab_size
+    embedding_dim: int
+    dec_layers: int = 1
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
     @classmethod
-    def from_config(cls, input_dim, vocab_size, model_cfg, dtype=None):
-        raise NotImplementedError("Transducer lands in a later milestone this round")
+    def from_config(cls, input_dim: int, vocab_size: int, model_cfg: dict,
+                    dtype=jnp.float32) -> "TransducerModel":
+        cfg = enc.EncoderConfig.from_dict(model_cfg["encoder"],
+                                          dropout=model_cfg.get("dropout", 0.0))
+        dec = model_cfg["decoder"]
+        return cls(encoder=cfg, input_dim=input_dim, vocab_size=vocab_size,
+                   embedding_dim=dec["embedding_dim"],
+                   dec_layers=dec.get("layers", 1),
+                   dropout=model_cfg.get("dropout", 0.0), dtype=dtype)
+
+    @property
+    def blank(self) -> int:
+        return self.vocab_size
+
+    def setup(self):
+        cfg = self.encoder
+        h = cfg.rnn_dim
+        e = self.embedding_dim
+        self.enc = enc.Encoder(cfg, dtype=self.dtype)
+        self.embedding = self.param(
+            "embedding", nn.initializers.normal(1.0), (self.vocab_size, e))
+        scale = 1.0 / math.sqrt(h)
+        u = nn.initializers.uniform(scale=2 * scale)
+        shifted = lambda key, shape, dtype=jnp.float32: u(key, shape, dtype) - scale
+        wi, bi, wh, bh = [], [], [], []
+        for i in range(self.dec_layers):
+            d_in = e if i == 0 else h
+            wi.append(self.param(f"dec{i}_wi", shifted, (d_in, 3 * h)))
+            bi.append(self.param(f"dec{i}_bi", shifted, (3 * h,)))
+            wh.append(self.param(f"dec{i}_wh", shifted, (h, 3 * h)))
+            bh.append(self.param(f"dec{i}_bh", shifted, (3 * h,)))
+        self.dec_wi, self.dec_bi, self.dec_wh, self.dec_bh = wi, bi, wh, bh
+        self.fc1 = nn.Dense(h, dtype=self.dtype)  # shared joint projection
+        self.fc2 = nn.Dense(self.vocab_size + 1, dtype=self.dtype)
+
+    # --- prediction network ---
+
+    def predict_sequence(self, labels: jax.Array, train: bool = False
+                         ) -> jax.Array:
+        """(B, U) labels -> (B, U+1, H) prediction states (zeros start frame
+        prepended, reference transducer_model.py:59-68)."""
+        b, u = labels.shape
+        y = jnp.take(self.embedding, labels, axis=0).astype(self.dtype)
+        y = jnp.concatenate(
+            [jnp.zeros((b, 1, self.embedding_dim), self.dtype), y], axis=1)
+        for i in range(self.dec_layers):
+            h0 = jnp.zeros((b, self.encoder.rnn_dim), self.dtype)
+            y = rnn_ops.gru_sequence(y, h0, self.dec_wi[i], self.dec_bi[i],
+                                     self.dec_wh[i], self.dec_bh[i])
+            if self.dropout > 0 and i < self.dec_layers - 1:
+                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return y
+
+    def predict_step(self, hs: jax.Array, tok: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Advance prediction state by one token. hs: (layers, B, H); tok (B,).
+        Returns (new_hs, output (B, H))."""
+        x = jnp.take(self.embedding, tok, axis=0).astype(self.dtype)
+        new_hs = []
+        for i in range(self.dec_layers):
+            h = rnn_ops.gru_cell_step(hs[i], x, self.dec_wi[i], self.dec_bi[i],
+                                      self.dec_wh[i], self.dec_bh[i])
+            new_hs.append(h)
+            x = h
+        return jnp.stack(new_hs), x
+
+    def predict_init(self, b: int) -> tuple[jax.Array, jax.Array]:
+        """State + output after consuming the zeros start frame."""
+        hs = jnp.zeros((self.dec_layers, b, self.encoder.rnn_dim), self.dtype)
+        x = jnp.zeros((b, self.embedding_dim), self.dtype)
+        new_hs = []
+        for i in range(self.dec_layers):
+            h = rnn_ops.gru_cell_step(hs[i], x, self.dec_wi[i], self.dec_bi[i],
+                                      self.dec_wh[i], self.dec_bh[i])
+            new_hs.append(h)
+            x = h
+        return jnp.stack(new_hs), x
+
+    # --- joint network ---
+
+    def joint(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Full lattice: x (B, T, H), y (B, U+1, H) -> (B, T, U+1, V+1)
+        log-probs (reference transducer_model.py:71-77)."""
+        out = self.fc1(x)[:, :, None, :] + self.fc1(y)[:, None, :, :]
+        out = nn.relu(out)
+        out = self.fc2(out)
+        return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+
+    def joint_step(self, x_t: jax.Array, y_u: jax.Array) -> jax.Array:
+        """Single lattice point: (B, H) x (B, H) -> (B, V+1) log-probs."""
+        out = nn.relu(self.fc1(x_t) + self.fc1(y_u))
+        return jax.nn.log_softmax(self.fc2(out).astype(jnp.float32), axis=-1)
+
+    # --- forward paths ---
+
+    def encode(self, inputs, input_lengths, train: bool = False):
+        return self.enc(inputs, input_lengths, train=train)
+
+    def __call__(self, inputs, input_lengths, labels, train: bool = False
+                 ) -> tuple[jax.Array, jax.Array]:
+        """Returns (log-prob lattice (B, T', U+1, V+1), out_lengths)."""
+        x, out_lengths = self.enc(inputs, input_lengths, train=train)
+        y = self.predict_sequence(labels, train=train)
+        return self.joint(x, y), out_lengths
+
+    def loss(self, batch: dict, train: bool = False) -> jax.Array:
+        lattice, out_lengths = self(batch["inputs"], batch["input_lengths"],
+                                    batch["labels"], train=train)
+        return rnnt_loss_mean(lattice, out_lengths, batch["labels"],
+                              batch["label_lengths"], blank=self.blank)
+
+    def per_utterance_loss(self, batch: dict) -> jax.Array:
+        lattice, out_lengths = self(batch["inputs"], batch["input_lengths"],
+                                    batch["labels"], train=False)
+        return rnnt_loss(lattice, out_lengths, batch["labels"],
+                         batch["label_lengths"], blank=self.blank)
+
+    # --- inference ---
+
+    def greedy(self, batch: dict, max_symbols_per_frame: int = 3,
+               max_out: int = 200) -> jax.Array:
+        """Batched greedy decode, lattice-free: walk frames, emitting until
+        blank (capped per frame). Returns (B, max_out) tokens padded with
+        blank; trim with tokens != blank."""
+        x, out_lengths = self.enc(batch["inputs"], batch["input_lengths"],
+                                  train=False)
+        b, t, _ = x.shape
+        hs, g = self.predict_init(b)
+        out_buf = jnp.full((b, max_out), self.blank, jnp.int32)
+        count = jnp.zeros((b,), jnp.int32)
+
+        def frame(carry, xs):
+            hs, g, out_buf, count = carry
+            x_t, t_idx = xs
+            active_frame = t_idx < out_lengths
+
+            def emit_try(carry, _):
+                hs, g, out_buf, count, emitted = carry
+                logits = self.joint_step(x_t, g)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                emit = (tok != self.blank) & active_frame & \
+                    (emitted < max_symbols_per_frame) & (count < max_out)
+                new_hs, new_g = self.predict_step(hs, tok)
+                hs = jnp.where(emit[None, :, None], new_hs, hs)
+                g = jnp.where(emit[:, None], new_g, g)
+                slot = jnp.arange(max_out)[None, :] == count[:, None]
+                out_buf = jnp.where(emit[:, None] & slot,
+                                    tok[:, None], out_buf)
+                count = count + emit.astype(jnp.int32)
+                emitted = emitted + emit.astype(jnp.int32)
+                return (hs, g, out_buf, count, emitted), None
+
+            init = (hs, g, out_buf, count, jnp.zeros((b,), jnp.int32))
+            (hs, g, out_buf, count, _), _ = jax.lax.scan(
+                emit_try, init, None, length=max_symbols_per_frame)
+            return (hs, g, out_buf, count), None
+
+        xs = (jnp.swapaxes(x, 0, 1), jnp.arange(t))
+        (hs, g, out_buf, count), _ = jax.lax.scan(
+            frame, (hs, g, out_buf, count), xs)
+        return out_buf
+
+    def conv_out_size(self, n: int, dim: int = 0) -> int:
+        return enc.conv_out_size(self.encoder.conv, n, dim)

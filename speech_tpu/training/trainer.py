@@ -129,7 +129,12 @@ def run_epoch(model, params, opt_state, train_step, loader: Loader,
 def infer_batch(model, params, batch, max_len: int = 200) -> list[list[int]]:
     """Greedy predictions for a batch, dispatched by model family."""
     from speech_tpu.models.seq2seq import Seq2SeqModel
+    from speech_tpu.models.transducer import TransducerModel
 
+    if isinstance(model, TransducerModel):
+        out = model.apply({"params": params}, batch, method="greedy")
+        out = np.asarray(out)
+        return [row[row != model.blank].tolist() for row in out]
     if isinstance(model, Seq2SeqModel):
         ys = model.apply({"params": params}, batch, max_len, method="greedy")
         ys = np.asarray(ys)
