@@ -18,14 +18,14 @@ from speech_tpu.utils.score import compute_cer
 
 
 def run(model_path: str, dataset_json: str, batch_size: int = 8,
-        tag: str = "best", out_file=None):
+        tag: str = "best", out_file=None, beam_size: int = 0):
     bundle = speech_tpu.load(model_path, tag=tag)
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
     loader = make_loader(dataset_json, preproc, batch_size, drop_last=False)
 
     all_preds, all_labels = [], []
     for batch in loader:
-        preds = infer_batch(model, params, batch)
+        preds = infer_batch(model, params, batch, beam_size=beam_size)
         for b in range(len(preds)):
             u = int(batch["label_lengths"][b])
             all_labels.append(batch["labels"][b, :u].tolist())
@@ -52,9 +52,12 @@ def main():
     parser.add_argument("--last", default=False, action="store_true",
                         help="Use the last saved model instead of the best")
     parser.add_argument("--save", help="Write per-utterance predictions (JSONL)")
+    parser.add_argument("--beam", type=int, default=0,
+                        help="Beam width (0 = greedy decode)")
     args = parser.parse_args()
     run(args.model, args.dataset, batch_size=args.batch_size,
-        tag=None if args.last else "best", out_file=args.save)
+        tag=None if args.last else "best", out_file=args.save,
+        beam_size=args.beam)
 
 
 if __name__ == "__main__":

@@ -126,8 +126,10 @@ def run_epoch(model, params, opt_state, train_step, loader: Loader,
     return params, opt_state, it, avg_loss, {"model_t": model_t, "data_t": data_t}
 
 
-def infer_batch(model, params, batch, max_len: int = 200) -> list[list[int]]:
-    """Greedy predictions for a batch, dispatched by model family."""
+def infer_batch(model, params, batch, max_len: int = 200,
+                beam_size: int = 0) -> list[list[int]]:
+    """Predictions for a batch, dispatched by model family. ``beam_size`` 0
+    means greedy; >0 selects beam search where implemented."""
     from speech_tpu.models.seq2seq import Seq2SeqModel
     from speech_tpu.models.transducer import TransducerModel
 
@@ -148,6 +150,12 @@ def infer_batch(model, params, batch, max_len: int = 200) -> list[list[int]]:
         return out
     log_probs, lengths = model.apply({"params": params}, batch,
                                      method="log_probs")
+    if beam_size > 0:
+        from speech_tpu.decode.ctc_beam import ctc_beam_decode
+
+        labels, _ = ctc_beam_decode(log_probs, lengths, beam_size=beam_size,
+                                    blank=model.blank)
+        return labels
     return ctc_greedy_decode(log_probs, lengths, blank=model.blank)
 
 
