@@ -134,11 +134,24 @@ def infer_batch(model, params, batch, max_len: int = 200,
     from speech_tpu.models.transducer import TransducerModel
 
     if isinstance(model, TransducerModel):
+        if beam_size > 0:
+            from speech_tpu.decode.rnnt_beam import rnnt_beam_search
+
+            preds, _ = rnnt_beam_search(model, params, batch,
+                                        beam_size=beam_size)
+            return preds
         out = model.apply({"params": params}, batch, method="greedy")
         out = np.asarray(out)
         return [row[row != model.blank].tolist() for row in out]
     if isinstance(model, Seq2SeqModel):
-        ys = model.apply({"params": params}, batch, max_len, method="greedy")
+        if beam_size > 0:
+            from speech_tpu.decode.seq2seq_beam import seq2seq_beam_search
+
+            ys, _ = seq2seq_beam_search(model, params, batch,
+                                        beam_size=beam_size, max_len=max_len)
+        else:
+            ys = model.apply({"params": params}, batch, max_len,
+                             method="greedy")
         ys = np.asarray(ys)
         out = []
         for row in ys:
