@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from speech_tpu.models import encoder as enc
-from speech_tpu.ops.ctc import ctc_loss, ctc_loss_mean
+from speech_tpu.ops.ctc import ctc_loss, ctc_loss_mean  # noqa: F401 (ctc_loss re-exported)
 
 
 class CTCModel(nn.Module):
@@ -26,6 +26,7 @@ class CTCModel(nn.Module):
     input_dim: int
     output_dim: int  # vocabulary size; blank index == output_dim
     dtype: Any = jnp.float32
+    ctc_impl: str = "auto"  # "auto" | "pure" | "pallas"
 
     @classmethod
     def from_config(cls, input_dim: int, vocab_size: int, model_cfg: dict,
@@ -53,11 +54,13 @@ class CTCModel(nn.Module):
         return self.fc(x), out_lengths
 
     def loss(self, batch: dict, train: bool = False) -> jax.Array:
-        """Batch-mean CTC loss from a loader batch dict."""
+        """Batch-mean CTC loss from a loader batch dict (Pallas kernel on
+        TPU, pure-JAX scan elsewhere; see ops.ctc.ctc_loss_auto)."""
         logits, out_lengths = self(batch["inputs"], batch["input_lengths"],
                                    train=train)
         return ctc_loss_mean(logits, out_lengths, batch["labels"],
-                             batch["label_lengths"], blank=self.blank)
+                             batch["label_lengths"], blank=self.blank,
+                             impl=self.ctc_impl)
 
     def per_utterance_loss(self, batch: dict) -> jax.Array:
         logits, out_lengths = self(batch["inputs"], batch["input_lengths"],

@@ -99,10 +99,29 @@ def ctc_loss(logits: jax.Array, logit_lengths: jax.Array, labels: jax.Array,
     return -ll
 
 
+def ctc_loss_auto(logits, logit_lengths, labels, label_lengths,
+                  blank: int | None = None, impl: str = "auto") -> jax.Array:
+    """Per-utterance CTC NLL, dispatching to the Pallas forward-backward
+    kernel on TPU (2x faster than autodiff-through-scan and residual-free)
+    and the pure-JAX scan elsewhere. ``impl``: "auto" | "pure" | "pallas"."""
+    if impl == "auto":
+        platform = jax.devices()[0].platform
+        impl = "pure" if platform in ("cpu", "gpu") else "pallas"
+    if impl == "pallas":
+        from speech_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+        if blank is None:
+            blank = logits.shape[-1] - 1
+        return ctc_loss_pallas(logits, logit_lengths, labels, label_lengths,
+                               blank, False)
+    return ctc_loss(logits, logit_lengths, labels, label_lengths, blank)
+
+
 def ctc_loss_mean(logits, logit_lengths, labels, label_lengths,
-                  blank: int | None = None) -> jax.Array:
+                  blank: int | None = None, impl: str = "auto") -> jax.Array:
     """Batch-mean CTC loss (the framework's training objective; the reference
     sums over the batch via warp-ctc — recipes here scale learning rates
     accordingly)."""
-    per_utt = ctc_loss(logits, logit_lengths, labels, label_lengths, blank)
+    per_utt = ctc_loss_auto(logits, logit_lengths, labels, label_lengths,
+                            blank, impl)
     return per_utt.mean()
