@@ -37,6 +37,7 @@ class TransducerModel(nn.Module):
     dec_layers: int = 1
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    rnnt_impl: str = "auto"  # "auto" | "pure" | "pallas"
 
     @classmethod
     def from_config(cls, input_dim: int, vocab_size: int, model_cfg: dict,
@@ -147,7 +148,8 @@ class TransducerModel(nn.Module):
         lattice, out_lengths = self(batch["inputs"], batch["input_lengths"],
                                     batch["labels"], train=train)
         return rnnt_loss_mean(lattice, out_lengths, batch["labels"],
-                              batch["label_lengths"], blank=self.blank)
+                              batch["label_lengths"], blank=self.blank,
+                              impl=self.rnnt_impl)
 
     def per_utterance_loss(self, batch: dict) -> jax.Array:
         lattice, out_lengths = self(batch["inputs"], batch["input_lengths"],

@@ -101,8 +101,25 @@ def rnnt_loss(log_probs: jax.Array, logit_lengths: jax.Array,
     return -(a_final + blank_final)
 
 
+def rnnt_loss_auto(log_probs, logit_lengths, labels, label_lengths,
+                   blank: int | None = None, impl: str = "auto") -> jax.Array:
+    """Per-utterance RNN-T NLL, dispatching to the Pallas forward-backward
+    kernel on TPU and the pure-JAX scan elsewhere."""
+    if impl == "auto":
+        platform = jax.devices()[0].platform
+        impl = "pure" if platform in ("cpu", "gpu") else "pallas"
+    if impl == "pallas":
+        from speech_tpu.ops.rnnt_pallas import rnnt_loss_pallas
+
+        if blank is None:
+            blank = log_probs.shape[-1] - 1
+        return rnnt_loss_pallas(log_probs, logit_lengths, labels,
+                                label_lengths, blank, False)
+    return rnnt_loss(log_probs, logit_lengths, labels, label_lengths, blank)
+
+
 def rnnt_loss_mean(log_probs, logit_lengths, labels, label_lengths,
-                   blank: int | None = None) -> jax.Array:
+                   blank: int | None = None, impl: str = "auto") -> jax.Array:
     """Batch-mean RNN-T loss (training objective; reference's native loss sums)."""
-    return rnnt_loss(log_probs, logit_lengths, labels, label_lengths,
-                     blank).mean()
+    return rnnt_loss_auto(log_probs, logit_lengths, labels, label_lengths,
+                          blank, impl).mean()
