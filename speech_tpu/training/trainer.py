@@ -90,7 +90,8 @@ def init_params(model, input_dim: int, rng_key) -> Any:
 
 def run_epoch(model, params, opt_state, train_step, loader: Loader,
               rng_key, it: int, avg_loss: float, logger: MetricsLogger,
-              log_every: int = 10, verbose: bool = True):
+              log_every: int = 10, verbose: bool = True,
+              place_batch: Optional[Callable] = None):
     """One epoch over the training loader (reference run_epoch, train.py:21-49)."""
     model_t, data_t = 0.0, 0.0
     end_t = time.time()
@@ -108,6 +109,8 @@ def run_epoch(model, params, opt_state, train_step, loader: Loader,
     for batch in loader:
         start_t = time.time()
         data_t += start_t - end_t
+        if place_batch is not None:
+            batch = place_batch(batch)
         rng = jax.random.fold_in(rng_key, it)
         params, opt_state, loss, grad_norm = train_step(
             params, opt_state, batch, rng)
@@ -226,6 +229,24 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     params = init_params(model, preproc.input_dim, key)
     opt_state = tx.init(params)
 
+    # Optional mesh parallelism (config "parallel" section; SURVEY §2.2).
+    par_cfg = config.get("parallel", {})
+    mesh = None
+    if par_cfg.get("enabled", False):
+        from speech_tpu.parallel import make_mesh
+        from speech_tpu.parallel.mesh import replicated
+
+        if par_cfg.get("multihost", False):
+            jax.distributed.initialize()
+        mesh = make_mesh(n_data=par_cfg.get("n_data"),
+                         n_model=par_cfg.get("n_model", 1))
+        if batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis "
+                f"{mesh.shape['data']}")
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+
     start_epoch, it, best_so_far = 0, 0, float("inf")
     if resume and ckpt.has_train_state(save_path):
         params, opt_state, state = ckpt.restore_train_state(save_path, opt_state)
@@ -235,7 +256,14 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
         if verbose:
             print(f"resumed from {save_path} at epoch {start_epoch}, step {it}")
 
-    train_step = make_train_step(model, tx)
+    if mesh is not None:
+        from speech_tpu.parallel import make_parallel_train_step, shard_batch
+
+        train_step = make_parallel_train_step(model, tx, mesh)
+        place_batch = lambda b: shard_batch(b, mesh)
+    else:
+        train_step = make_train_step(model, tx)
+        place_batch = None
     avg_loss = 0.0
     summary = {"best_dev_cer": best_so_far, "steps": it, "epochs_run": 0}
 
@@ -247,11 +275,20 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
                 print(f"epoch {epoch}")
             params, opt_state, it, avg_loss, times = run_epoch(
                 model, params, opt_state, train_step, train_ldr, epoch_key,
-                it, avg_loss, logger, verbose=verbose)
+                it, avg_loss, logger, verbose=verbose,
+                place_batch=place_batch)
             logger.log_value("epoch_time", time.time() - start, epoch)
 
-            dev_loss, dev_cer = eval_dev(model, params, dev_ldr, preproc,
-                                         verbose=verbose)
+            if mesh is not None:
+                from speech_tpu.parallel.eval import distributed_eval
+
+                dev_loss, dev_cer = distributed_eval(model, params, dev_ldr,
+                                                     preproc, mesh)
+                if verbose:
+                    print(f"  dev loss {dev_loss:.3f}, dev cer {dev_cer:.3f}")
+            else:
+                dev_loss, dev_cer = eval_dev(model, params, dev_ldr, preproc,
+                                             verbose=verbose)
             logger.log_value("dev_loss", dev_loss, epoch)
             logger.log_value("dev_cer", dev_cer, epoch)
 
