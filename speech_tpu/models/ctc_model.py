@@ -30,14 +30,14 @@ class CTCModel(nn.Module):
 
     @classmethod
     def from_config(cls, input_dim: int, vocab_size: int, model_cfg: dict,
-                    dtype=jnp.float32) -> "CTCModel":
+                    dtype=jnp.float32, ctc_impl: str = "auto") -> "CTCModel":
         cfg = enc.EncoderConfig.from_dict(model_cfg["encoder"],
                                           dropout=model_cfg.get("dropout", 0.0))
         freq_out = enc.conv_out_size(cfg.conv, input_dim, dim=1)
         if freq_out <= 0:
             raise ValueError("Convolutional output frequency dimension is not positive")
         return cls(encoder=cfg, input_dim=input_dim, output_dim=vocab_size,
-                   dtype=dtype)
+                   dtype=dtype, ctc_impl=ctc_impl)
 
     @property
     def blank(self) -> int:

@@ -41,14 +41,16 @@ class TransducerModel(nn.Module):
 
     @classmethod
     def from_config(cls, input_dim: int, vocab_size: int, model_cfg: dict,
-                    dtype=jnp.float32) -> "TransducerModel":
+                    dtype=jnp.float32, rnnt_impl: str = "auto"
+                    ) -> "TransducerModel":
         cfg = enc.EncoderConfig.from_dict(model_cfg["encoder"],
                                           dropout=model_cfg.get("dropout", 0.0))
         dec = model_cfg["decoder"]
         return cls(encoder=cfg, input_dim=input_dim, vocab_size=vocab_size,
                    embedding_dim=dec["embedding_dim"],
                    dec_layers=dec.get("layers", 1),
-                   dropout=model_cfg.get("dropout", 0.0), dtype=dtype)
+                   dropout=model_cfg.get("dropout", 0.0), dtype=dtype,
+                   rnnt_impl=rnnt_impl)
 
     @property
     def blank(self) -> int:

@@ -32,6 +32,11 @@ import jax.numpy as jnp
 _NEG = -1e30
 
 
+def _cast_params(params: dict, dtype) -> dict:
+    """Compute dtype follows the encoder states (bf16 mixed precision)."""
+    return {k: v.astype(dtype) for k, v in params.items()}
+
+
 def _masked_softmax(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
     if mask is not None:
         scores = jnp.where(mask, scores, _NEG)
@@ -60,6 +65,8 @@ def nn_attention(params: dict, eh: jax.Array, dhx: jax.Array, ax: jax.Array,
     reference passes ax=None and skips the conv term entirely.
     Returns (summary (B,H), alignment (B,T)).
     """
+    params = _cast_params(params, eh.dtype)
+    ax = ax.astype(eh.dtype)
     pax = eh + dhx[:, None, :]  # (B,T,H)
     conv_term = _conv1d_same(ax[:, :, None], params["conv_kernel"],
                              params["conv_bias"])  # (B,T,C=H)

@@ -47,7 +47,10 @@ def gru_sequence(x: jax.Array, h0: jax.Array, wi: jax.Array, bi: jax.Array,
     Returns:
       (B, T, H) hidden states for every step.
     """
-    h_dim = wh.shape[0]
+    # Compute dtype follows the inputs (bf16 activations keep bf16 matmuls on
+    # the MXU even when the stored parameters are float32).
+    wi, bi, wh, bh = (w.astype(x.dtype) for w in (wi, bi, wh, bh))
+    h0 = h0.astype(x.dtype)
     # One big MXU matmul for all timesteps.
     x_proj = x @ wi + bi  # (B, T, 3H)
     x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H) time-major for scan
@@ -69,6 +72,8 @@ def gru_sequence(x: jax.Array, h0: jax.Array, wi: jax.Array, bi: jax.Array,
 def gru_cell_step(h: jax.Array, x: jax.Array, wi: jax.Array, bi: jax.Array,
                   wh: jax.Array, bh: jax.Array) -> jax.Array:
     """Single GRU step for incremental decoding. x: (B, D), h: (B, H)."""
+    wi, bi, wh, bh = (w.astype(x.dtype) for w in (wi, bi, wh, bh))
+    h = h.astype(x.dtype)
     xp = x @ wi + bi
     hp = h @ wh + bh
     xr, xz, xn = jnp.split(xp, 3, axis=-1)
