@@ -75,8 +75,7 @@ class GRULayer(nn.Module):
     bidirectional: bool
     dtype: Any = jnp.float32
 
-    def _direction(self, name: str, x: jax.Array) -> jax.Array:
-        d = x.shape[-1]
+    def _params(self, name: str, d: int):
         h = self.features
         scale = 1.0 / math.sqrt(h)
         init = nn.initializers.uniform(scale=2 * scale)
@@ -84,23 +83,23 @@ class GRULayer(nn.Module):
         def shifted(key, shape, dtype=jnp.float32):
             return init(key, shape, dtype) - scale  # U(-1/sqrt(H), 1/sqrt(H))
 
-        wi = self.param(f"{name}_wi", shifted, (d, 3 * h))
-        bi = self.param(f"{name}_bi", shifted, (3 * h,))
-        wh = self.param(f"{name}_wh", shifted, (h, 3 * h))
-        bh = self.param(f"{name}_bh", shifted, (3 * h,))
-        h0 = jnp.zeros((x.shape[0], h), dtype=self.dtype)
-        return rnn_ops.gru_sequence(
-            x.astype(self.dtype), h0, wi.astype(self.dtype), bi.astype(self.dtype),
-            wh.astype(self.dtype), bh.astype(self.dtype))
+        return (self.param(f"{name}_wi", shifted, (d, 3 * h)),
+                self.param(f"{name}_bi", shifted, (3 * h,)),
+                self.param(f"{name}_wh", shifted, (h, 3 * h)),
+                self.param(f"{name}_bh", shifted, (3 * h,)))
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
-        fwd = self._direction("fwd", x)
+        x = x.astype(self.dtype)
+        d = x.shape[-1]
+        fwd_w = self._params("fwd", d)
         if not self.bidirectional:
-            return fwd
-        x_rev = rnn_ops.reverse_sequences(x, lengths)
-        bwd = rnn_ops.reverse_sequences(self._direction("bwd", x_rev), lengths)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+            h0 = jnp.zeros((x.shape[0], self.features), dtype=self.dtype)
+            return rnn_ops.gru_sequence(x, h0, *fwd_w)
+        bwd_w = self._params("bwd", d)
+        # Both directions ride one scan (sequential-step latency dominates).
+        stacked = tuple(jnp.stack([f, b]) for f, b in zip(fwd_w, bwd_w))
+        return rnn_ops.gru_sequence_bidir(x, lengths, *stacked)
 
 
 class Encoder(nn.Module):
