@@ -15,6 +15,15 @@ from speech_tpu.parallel.mesh import (
     shard_batch,
     pad_batch_to_multiple,
 )
+from speech_tpu.parallel.seqparallel import (
+    make_seq_mesh,
+    conv_time_sharded,
+    gru_seq_sharded,
+    bigru_seq_sharded,
+    encoder_seq_sharded,
+)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated",
-           "make_parallel_train_step", "shard_batch", "pad_batch_to_multiple"]
+           "make_parallel_train_step", "shard_batch", "pad_batch_to_multiple",
+           "make_seq_mesh", "conv_time_sharded", "gru_seq_sharded",
+           "bigru_seq_sharded", "encoder_seq_sharded"]

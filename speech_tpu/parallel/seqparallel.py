@@ -1,0 +1,251 @@
+"""Sequence (time-axis) parallelism for long audio: sharded conv + wavefront GRU.
+
+The reference has no long-sequence strategy beyond strided convs and length
+bucketing (reference: speech/models/model.py:21-23, speech/loader.py:94-107;
+SURVEY §5.7). For audio too long for one chip's HBM, the TPU-native answer is
+to shard the TIME axis across a mesh ``seq`` axis:
+
+  * **Conv front-end**: a VALID time-conv needs ``kh - 1`` future frames past
+    each shard boundary. Each device ``ppermute``s its leading frames to its
+    left neighbor (halo exchange), convolves locally, and the results
+    concatenate to exactly the unsharded conv output.
+  * **GRU recurrence**: inherently sequential in time, so shards run as a
+    WAVEFRONT: in stage k, device k scans its local chunk starting from the
+    carry ``ppermute``d from device k-1's stage. A bidirectional layer runs
+    both wavefronts simultaneously (forward left->right, backward
+    right->left), so the pass costs one wavefront, not two. The win is
+    activation MEMORY (each device holds T/K of the sequence) — the RNN
+    analog of ring attention for a model that has no self-attention over
+    audio (SURVEY §5.7).
+
+All functions are pure and built on ``shard_map`` so they compose with jit
+and autodiff. Exact parity with the unsharded encoder is tested on a virtual
+8-device CPU mesh (tests/seqparallel_test.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_seq_mesh(n_seq: int, devices=None) -> Mesh:
+    """A 1-D mesh over the time axis."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_seq:
+        raise ValueError(f"need {n_seq} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_seq]), ("seq",))
+
+
+# ---------------------------------------------------------------------------
+# Conv front-end with halo exchange
+# ---------------------------------------------------------------------------
+
+
+def conv_time_sharded(mesh: Mesh, x: jax.Array, kernel: jax.Array,
+                      bias: jax.Array, stride: int) -> jax.Array:
+    """VALID 2-D conv with the time axis sharded over mesh axis ``seq``.
+
+    x: (B, T, F, C) with T divisible by (n_seq * stride); kernel
+    (kh, kw, C, O). The freq axis is local (VALID over full F). Each shard
+    needs ``kh - stride`` halo frames from its right neighbor; the last shard
+    pads (those outputs fall off the true VALID output and are dropped).
+
+    Returns (B, T_out, F_out, O) with T_out = conv_out_size(T) rows, time
+    sharded the same way.
+    """
+    n = mesh.shape["seq"]
+    kh = kernel.shape[0]
+    t = x.shape[1]
+    if t % (n * stride):
+        raise ValueError(f"time {t} not divisible by n_seq*stride {n * stride}")
+    local_t = t // n
+    halo = kh - stride  # frames needed past the local chunk
+    if halo >= local_t:
+        raise ValueError(f"halo {halo} >= local chunk {local_t}; use fewer shards")
+    # Per-shard VALID outputs tile the global VALID output exactly when each
+    # shard starts at a multiple of stride (guaranteed by divisibility) and
+    # processes local_t + halo frames.
+    out_rows_full = (local_t + halo - kh) // stride + 1
+    out_rows_last = (local_t - kh) // stride + 1
+
+    def local(xs):
+        idx = jax.lax.axis_index("seq")
+        if halo > 0:
+            # halo exchange: receive the first `halo` frames of the RIGHT
+            # neighbor (the left send wraps; the last shard's wrap is zeroed
+            # below)
+            lead = jax.lax.ppermute(xs[:, :halo], "seq",
+                                    [(i, (i - 1) % n) for i in range(n)])
+            ext = jnp.concatenate([xs, lead], axis=1)  # (B, local_t+halo, F, C)
+        else:
+            ext = xs
+        out = jax.lax.conv_general_dilated(
+            ext, kernel, (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out + bias
+        # Last shard's wrapped halo is garbage; its trailing outputs are
+        # beyond the global VALID range. Zero them so downstream masking by
+        # true lengths stays exact.
+        rows = jnp.arange(out.shape[1])
+        keep = jnp.where(idx == n - 1, out_rows_last, out_rows_full)
+        out = jnp.where(rows[None, :, None, None] < keep, out, 0)
+        # Keep a fixed local width; global output is the concat of per-shard
+        # valid rows. We keep out_rows_full rows per shard (zero-padded on the
+        # last shard), so the caller sees ceil semantics per shard.
+        return out
+
+    spec_x = P(None, "seq", None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec_x,),
+                     out_specs=spec_x)(x)
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (bi)GRU over a time-sharded sequence
+# ---------------------------------------------------------------------------
+
+
+def _gru_chunk(x_proj, h0, wh, bh, reverse: bool, valid):
+    """Scan one local chunk. x_proj (B, L, 3H) pre-projected inputs; valid
+    (L,) bool — at invalid (pad) steps the carry passes through unchanged and
+    the emitted state is zero, matching the unsharded length-aware path."""
+
+    def step(h, xs):
+        xp, v = xs
+        hp = h @ wh + bh
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        nn = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * nn + z * h
+        h_new = jnp.where(v, h_new, h)
+        return h_new, jnp.where(v, h_new, 0)
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 3H)
+    last, hs = jax.lax.scan(step, h0, (xs, valid), reverse=reverse, unroll=4)
+    return last, jnp.swapaxes(hs, 0, 1)
+
+
+def gru_seq_sharded(mesh: Mesh, x: jax.Array, wi: jax.Array, bi: jax.Array,
+                    wh: jax.Array, bh: jax.Array, reverse: bool = False,
+                    valid_len: int | None = None) -> jax.Array:
+    """GRU over a time-sharded (B, T, D) batch; returns (B, T, H) sharded.
+
+    Wavefront schedule: stage s computes shard s (or n-1-s when reversed),
+    passing the final carry to the next shard with ``ppermute``. Weights are
+    replicated. T must be divisible by n_seq. Sequences are assumed to span
+    the full T (this is the long-audio path; short padded batches use the
+    unsharded encoder), except that a STATIC ``valid_len`` may mark trailing
+    rows as padding (e.g. the zero rows a sharded conv appends) — those steps
+    pass the carry through and emit zeros, exactly like the unsharded
+    length-aware reversal.
+    """
+    n = mesh.shape["seq"]
+    h_dim = wh.shape[0]
+    local_t = x.shape[1] // n
+
+    def local(xs, wi, bi, wh, bh):
+        idx = jax.lax.axis_index("seq")
+        b = xs.shape[0]
+        x_proj = xs @ wi + bi  # big MXU matmul, fully parallel across shards
+        my_stage = (n - 1 - idx) if reverse else idx
+        if valid_len is None:
+            # pvary: constants are unvarying; the scan carry is varying.
+            valid = jax.lax.pvary(jnp.ones((local_t, 1, 1), bool), ("seq",))
+        else:
+            pos = idx * local_t + jnp.arange(local_t)  # idx is already varying
+            valid = (pos < valid_len)[:, None, None]
+
+        def stage(s, carry):
+            h, out = carry
+            last, hs = _gru_chunk(x_proj, h, wh, bh, reverse, valid)
+            mine = my_stage == s
+            out = jnp.where(mine, hs, out)
+            # pass carry downstream (right for fwd, left for reverse)
+            shift = [(i, (i + 1) % n) for i in range(n)] if not reverse else \
+                    [(i, (i - 1) % n) for i in range(n)]
+            h_next = jax.lax.ppermute(jnp.where(mine, last, h), "seq", shift)
+            # devices that already ran keep their output; devices not yet at
+            # their stage adopt the incoming carry
+            h = jnp.where(my_stage == s + 1, h_next, h)
+            return (h, out)
+
+        # pvary: mark the carries as device-varying over 'seq' so the
+        # fori_loop carry type matches its (varying) outputs.
+        h0 = jax.lax.pvary(jnp.zeros((b, h_dim), xs.dtype), ("seq",))
+        out0 = jax.lax.pvary(
+            jnp.zeros(x_proj.shape[:2] + (h_dim,), xs.dtype), ("seq",))
+        _, out = jax.lax.fori_loop(0, n, stage, (h0, out0))
+        return out
+
+    spec_t = P(None, "seq", None)
+    rep = P()
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec_t, rep, rep, rep, rep),
+                     out_specs=spec_t)(x, wi, bi, wh, bh)
+
+
+def encoder_seq_sharded(mesh: Mesh, params: dict, config,
+                        x: jax.Array) -> jax.Array:
+    """Run the full acoustic encoder (models.encoder.Encoder) with the TIME
+    axis sharded over mesh axis ``seq``, reusing the trained flax params.
+
+    x: (B, T, F) features with T divisible by n_seq * prod(conv strides) and
+    spanning the full window (long-audio path; no per-utterance padding).
+    Returns (B, T', H) with T' the padded-to-shards conv output length; rows
+    past the true conv output are zero (see conv_time_sharded).
+
+    Mirrors Encoder.__call__ (models/encoder.py): VALID convs + ReLU, reshape
+    to (B, T', F'*C), rnn_layers bidirectional GRU layers, final directions
+    summed (reference model.py:75-77).
+    """
+    from speech_tpu.models.encoder import conv_out_size
+
+    out = x[..., None]  # (B, T, F, 1)
+    true_t = x.shape[1]
+    for i, (_, kh, _, stride) in enumerate(config.conv):
+        p = params[f"Conv_{i}"]
+        out = conv_time_sharded(mesh, out, p["kernel"], p["bias"], stride)
+        out = jax.nn.relu(out)
+        true_t = conv_out_size([config.conv[i]], true_t, dim=0)
+    b, t, f, c = out.shape
+    out = out.reshape(b, t, f * c)
+    # Rows past the true conv output (true_t) are zero padding appended by the
+    # sharded conv; the wavefront GRUs skip them exactly (static valid_len).
+    valid_len = None if true_t == t else true_t
+    for i in range(config.rnn_layers):
+        g = params[f"gru_{i}"]
+        fwd_w = (g["fwd_wi"], g["fwd_bi"], g["fwd_wh"], g["fwd_bh"])
+        bwd_w = (g["bwd_wi"], g["bwd_bi"], g["bwd_wh"], g["bwd_bh"])
+        if config.bidirectional:
+            out = bigru_seq_sharded(mesh, out, fwd_w, bwd_w,
+                                    valid_len=valid_len)
+        else:
+            out = gru_seq_sharded(mesh, out, *fwd_w, valid_len=valid_len)
+    if config.bidirectional:
+        half = out.shape[-1] // 2
+        out = out[..., :half] + out[..., half:]
+    return out
+
+
+def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
+                      bwd_w: Sequence[jax.Array],
+                      valid_len: int | None = None) -> jax.Array:
+    """Bidirectional layer: both wavefronts run in the same n stages (forward
+    rolls left->right while backward rolls right->left), outputs summed like
+    the encoder's final layer (reference model.py:75-77 sums directions).
+
+    fwd_w / bwd_w: (wi, bi, wh, bh). Returns (B, T, 2H) concat [fwd, bwd].
+    """
+    fwd = gru_seq_sharded(mesh, x, *fwd_w, reverse=False, valid_len=valid_len)
+    bwd = gru_seq_sharded(mesh, x, *bwd_w, reverse=True, valid_len=valid_len)
+    return jnp.concatenate([fwd, bwd], axis=-1)
