@@ -68,11 +68,15 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     return out
 
 
-def make_parallel_train_step(model, tx, mesh: Mesh):
-    """Data-parallel version of training.trainer.make_train_step.
+def make_parallel_train_step(model, tx, mesh: Mesh, params=None):
+    """Mesh-parallel version of training.trainer.make_train_step.
 
-    Parameters/optimizer state replicated, batch sharded on the data axis;
-    XLA inserts the gradient all-reduce. Donates params/opt_state buffers.
+    Data parallel: batch sharded on the ``data`` axis, gradient all-reduce
+    inserted by XLA. If the mesh has a ``model`` axis of size > 1, pass the
+    (already TP-sharded, see parallel.tp.shard_params) ``params`` so the jit
+    preserves the tensor-parallel weight shardings; GSPMD then inserts the
+    TP collectives inside the encoder scans as well. Donates params/opt_state
+    buffers.
     """
     import optax
 
@@ -94,6 +98,18 @@ def make_parallel_train_step(model, tx, mesh: Mesh):
         "inputs": bsh, "input_lengths": bsh, "labels": bsh,
         "label_lengths": bsh,
     }
+    if params is not None and mesh.shape.get("model", 1) > 1:
+        from speech_tpu.parallel.tp import param_shardings
+
+        psh = param_shardings(params, mesh)
+        # opt_state initialized from sharded params mirrors their shardings;
+        # let jit infer them from the arguments (in_shardings=None entries).
+        return jax.jit(
+            step_fn,
+            in_shardings=(psh, None, batch_shardings, rep),
+            out_shardings=(psh, None, rep, rep),
+            donate_argnums=(0, 1),
+        )
     return jax.jit(
         step_fn,
         in_shardings=(rep, rep, batch_shardings, rep),

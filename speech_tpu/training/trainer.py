@@ -244,8 +244,13 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by data axis "
                 f"{mesh.shape['data']}")
-        params = jax.device_put(params, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        if mesh.shape.get("model", 1) > 1:
+            from speech_tpu.parallel.tp import shard_params
+
+            params = shard_params(params, mesh)  # TP weight shardings
+        else:
+            params = jax.device_put(params, replicated(mesh))
+        opt_state = tx.init(params)  # inherits the param shardings
 
     start_epoch, it, best_so_far = 0, 0, float("inf")
     if resume and ckpt.has_train_state(save_path):
@@ -259,7 +264,7 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     if mesh is not None:
         from speech_tpu.parallel import make_parallel_train_step, shard_batch
 
-        train_step = make_parallel_train_step(model, tx, mesh)
+        train_step = make_parallel_train_step(model, tx, mesh, params=params)
         place_batch = lambda b: shard_batch(b, mesh)
     else:
         train_step = make_train_step(model, tx)
