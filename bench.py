@@ -7,10 +7,19 @@ Prints ONE JSON line:
 Metric: seconds of audio processed per wall-clock second per chip while
 running full jitted training steps (forward + CTC loss + backward + SGD
 update) on the LibriSpeech-scale conv+BiGRU CTC model from
-``__graft_entry__.FLAGSHIP_MODEL_CFG``. Utterance length ~10 s at a 10 ms
-feature hop. The reference publishes no throughput numbers (BASELINE.md), so
-vs_baseline is measured against this framework's round-1 recording
-(BASELINE_AUDIO_S_PER_S below) — later rounds must push it up.
+``__graft_entry__.FLAGSHIP_MODEL_CFG``, in bf16 mixed precision (params and
+loss lattice stay f32). Utterance length ~10 s at a 10 ms feature hop.
+
+Measurement honesty: on this machine the TPU is reached through a tunnel
+whose ``block_until_ready`` does not synchronize, and deep async queues hit a
+pathological slow path — so the loop fetches the loss value every other step
+(a real device round trip) and the batch is device-resident (the training
+loop's prefetch overlaps host->device transfers with compute, so steady-state
+throughput is bounded by the compiled step).
+
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+is measured against this framework's first honest recording (see
+BASELINE_AUDIO_S_PER_S) — later rounds must push the ratio up.
 """
 
 from __future__ import annotations
@@ -25,20 +34,24 @@ from __graft_entry__ import FLAGSHIP_MODEL_CFG, _Spec, _fake_batch
 from speech_tpu.models import build_model
 from speech_tpu.training.trainer import make_optimizer, make_train_step
 
-# Round-1 first recording on TPU v5e (this framework, f32). Update only with
-# justification in BASELINE.md.
-BASELINE_AUDIO_S_PER_S = 10350.0  # 2026-08-17, f32, B=16, T=1000
+# First honest recording (2026-08-18, TPU v5e): original implementation
+# (separate per-direction GRU scans), float32, B=16, 10 s utts, loss fetched
+# every other step -> 82.8 ms/step. Update only with justification in
+# BASELINE.md.
+BASELINE_AUDIO_S_PER_S = 1934.0
 
-BATCH = 16
+BATCH = 64
 FRAMES = 1000  # 10 s utterances at 10 ms hop
 LABELS = 160
 HOP_S = 0.01
 WARMUP = 3
-STEPS = 50
+STEPS = 30
+DTYPE = "bfloat16"
 
 
 def main():
-    model = build_model(FLAGSHIP_MODEL_CFG, _Spec())
+    cfg = dict(FLAGSHIP_MODEL_CFG, dtype=DTYPE)
+    model = build_model(cfg, _Spec())
     tx = make_optimizer({"learning_rate": 0.001, "momentum": 0.9})
     rng = np.random.default_rng(0)
     batch = _fake_batch(rng, b=BATCH, t=FRAMES, u=LABELS, vocab=_Spec.vocab_size)
@@ -48,23 +61,22 @@ def main():
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
 
-    # Device-resident inputs: the training loop double-buffers host->device
-    # transfers behind compute (trainer.run_epoch prefetch), so steady-state
-    # throughput is bounded by the compiled step, not by re-uploading the
-    # same batch every iteration (which on a tunneled device dominates).
     batch = jax.device_put(batch)
     params = jax.device_put(params)
     opt_state = jax.device_put(opt_state)
 
     rng_key = jax.random.PRNGKey(1)
-    for i in range(WARMUP):
+    for _ in range(WARMUP):
         params, opt_state, loss, gn = step(params, opt_state, batch, rng_key)
-    jax.block_until_ready(loss)
+    loss_v = float(loss)  # full sync (block_until_ready is unreliable here)
+    assert np.isfinite(loss_v), f"non-finite warmup loss {loss_v}"
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         params, opt_state, loss, gn = step(params, opt_state, batch, rng_key)
-    jax.block_until_ready(loss)
+        if i % 2 == 1:
+            _ = float(loss)
+    _ = float(loss)
     dt = time.perf_counter() - t0
 
     audio_s = BATCH * FRAMES * HOP_S * STEPS

@@ -91,8 +91,11 @@ def init_params(model, input_dim: int, rng_key) -> Any:
 def run_epoch(model, params, opt_state, train_step, loader: Loader,
               rng_key, it: int, avg_loss: float, logger: MetricsLogger,
               log_every: int = 10, verbose: bool = True,
-              place_batch: Optional[Callable] = None):
-    """One epoch over the training loader (reference run_epoch, train.py:21-49)."""
+              place_batch: Optional[Callable] = None, trace=None):
+    """One epoch over the training loader (reference run_epoch, train.py:21-49).
+
+    ``trace``: optional utils.profiling.TraceWindow capturing a device trace
+    for a step window (SURVEY §5.1)."""
     model_t, data_t = 0.0, 0.0
     end_t = time.time()
     pending: list[tuple[int, Any, Any]] = []
@@ -111,9 +114,14 @@ def run_epoch(model, params, opt_state, train_step, loader: Loader,
         data_t += start_t - end_t
         if place_batch is not None:
             batch = place_batch(batch)
+        if trace is not None:
+            trace.maybe_start(it)
         rng = jax.random.fold_in(rng_key, it)
         params, opt_state, loss, grad_norm = train_step(
             params, opt_state, batch, rng)
+        if trace is not None and not trace.done:
+            jax.block_until_ready(loss)
+            trace.maybe_stop(it + 1)
         pending.append((it, loss, grad_norm))
         it += 1
         if len(pending) >= log_every:
@@ -272,6 +280,9 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     avg_loss = 0.0
     summary = {"best_dev_cer": best_so_far, "steps": it, "epochs_run": 0}
 
+    from speech_tpu.utils.profiling import make_trace_window
+    trace = make_trace_window(config.get("profile"), save_path)
+
     with MetricsLogger(save_path, tensorboard=config.get("tensorboard", False)) as logger:
         for epoch in range(start_epoch, opt_cfg["epochs"]):
             epoch_key = jax.random.fold_in(key, 1000 + epoch)
@@ -281,8 +292,10 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
             params, opt_state, it, avg_loss, times = run_epoch(
                 model, params, opt_state, train_step, train_ldr, epoch_key,
                 it, avg_loss, logger, verbose=verbose,
-                place_batch=place_batch)
+                place_batch=place_batch, trace=trace)
             logger.log_value("epoch_time", time.time() - start, epoch)
+            logger.log_value("model_time", times["model_t"], epoch)
+            logger.log_value("data_time", times["data_t"], epoch)
 
             if mesh is not None:
                 from speech_tpu.parallel.eval import distributed_eval
@@ -310,4 +323,6 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
                            epochs_run=epoch - start_epoch + 1,
                            last_dev_loss=dev_loss, last_dev_cer=dev_cer,
                            avg_loss=avg_loss)
+    if trace is not None:
+        trace.close()
     return summary
