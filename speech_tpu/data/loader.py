@@ -99,9 +99,10 @@ class Loader:
     def __init__(self, dataset: AudioDataset, batch_size: int,
                  num_workers: int = 4, time_mult: int = 100,
                  label_mult: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.native = native
         self.num_workers = max(1, num_workers)
         self.time_mult = time_mult
         self.label_mult = label_mult
@@ -117,8 +118,40 @@ class Loader:
         return len(self.batches)
 
     def _make_batch(self, idxs: list[int]) -> dict[str, np.ndarray]:
+        if self.native:
+            batch = self._make_batch_native(idxs)
+            if batch is not None:
+                return batch
         examples = [self.dataset[i] for i in idxs]
         return _collate(examples, self.time_mult, self.label_mult)
+
+    def _make_batch_native(self, idxs: list[int]) -> Optional[dict[str, np.ndarray]]:
+        """Featurize a whole batch with the native C++ thread pool (wav decode
+        + STFT + log + normalize outside the GIL — speech_tpu/native/
+        featurizer.cc). Returns None to fall back on any error (non-PCM file,
+        sample-rate mismatch), keeping behavior identical to the numpy path."""
+        from speech_tpu.native import featurizer as native
+
+        if not native.available():
+            return None
+        preproc = self.dataset.preproc
+        data = [self.dataset.data[i] for i in idxs]
+        try:
+            t_max = max(native.num_frames_file(d["audio"]) for d in data)
+            t_pad = round_up(t_max, self.time_mult)
+            inputs, t_lens = native.featurize_batch(
+                [d["audio"] for d in data], t_pad, preproc.input_dim,
+                mean=preproc.mean, std=preproc.std)
+        except IOError:
+            return None
+        labels_list = [preproc.encode(d["text"]) for d in data]
+        u_lens = np.array([len(y) for y in labels_list], dtype=np.int32)
+        u_pad = round_up(max(int(u_lens.max()), 1), self.label_mult)
+        labels = np.zeros((len(data), u_pad), dtype=np.int32)
+        for i, y in enumerate(labels_list):
+            labels[i, : len(y)] = y
+        return {"inputs": inputs, "input_lengths": t_lens,
+                "labels": labels, "label_lengths": u_lens}
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         order = list(self.batches)

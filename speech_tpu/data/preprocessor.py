@@ -90,6 +90,17 @@ class Preprocessor:
         return ((feats - self.mean) / self.std).astype(np.float32)
 
     def preprocess(self, wave_file: str, text) -> tuple[np.ndarray, list[int]]:
+        from speech_tpu.native import featurizer as native
+
+        if native.available():
+            # Featurize + normalize in one native call (GIL-free); numerics
+            # match the numpy path (tests/native_featurizer_test.py).
+            try:
+                inputs = native.log_specgram_file(
+                    wave_file, mean=self.mean, std=self.std)
+                return inputs, self.encode(text)
+            except IOError:
+                pass  # non-PCM or rate-mismatched file: numpy fallback
         inputs = F.log_specgram_from_file(wave_file)
         return self.normalize(inputs), self.encode(text)
 

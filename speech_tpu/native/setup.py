@@ -18,6 +18,16 @@ setup(
             sources=[os.path.join(here, "editdistance.c")],
             extra_compile_args=["-O3"],
         ),
+        # Plain C-ABI shared library (consumed via ctypes, not imported as a
+        # Python module): wav decode + log-spectrogram featurization with an
+        # internal thread pool. See featurizer.cc.
+        Extension(
+            "_featurizer",
+            sources=[os.path.join(here, "featurizer.cc")],
+            language="c++",
+            extra_compile_args=["-O3", "-std=c++17", "-pthread"],
+            extra_link_args=["-pthread"],
+        ),
     ],
     script_args=["build_ext", "--inplace", f"--build-lib={here}", f"--build-temp={os.path.join(here, 'build')}"],
 )
