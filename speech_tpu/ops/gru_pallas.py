@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for the GRU time recurrence (forward + custom VJP).
+
+This is the framework's hottest op: the reference leaves the recurrence to
+cuDNN (reference speech/models/model.py:35-39); the pure-JAX version
+(speech_tpu.ops.rnn) is a ``lax.scan`` whose per-step state round-trips
+through XLA's while-loop machinery. Here the whole sequence runs as ONE
+Pallas grid over time: the hidden state lives in VMEM scratch across grid
+steps, the recurrent weights stay resident in VMEM, and each step issues the
+(N, H) x (H, 3H) recurrent matmul straight to the MXU while Mosaic
+double-buffers the per-step input-projection block from HBM.
+
+Layout: inputs are time-major ``x_proj (T, N, 3H)`` where ``N = K * B`` rows
+stack K directions (1 or 2 — the bidirectional trick from
+ops/rnn.gru_sequence_bidir: both directions ride one sequential pass). The
+input projection (one big MXU matmul over all timesteps) and its gradients
+stay in XLA; the kernel holds only what XLA cannot pipeline — the sequential
+recurrence.
+
+Backward: a reverse-grid kernel recomputes the gates (rematerialization — one
+extra small matmul beats storing three gate tensors to HBM), carries dh in
+VMEM scratch, and emits per-step gate grads ``dxp`` plus the recompute of
+``r``. The weight/bias gradients are then two big batched XLA matmuls over
+the full (T, N) extent — MXU-shaped work XLA already schedules optimally —
+and ``dx_proj`` is exactly ``dxp`` (gates consume x_proj additively).
+
+Gate convention matches torch GRUCell (r, z, n; candidate uses
+r * (W_hn h + b_hn)) like ops/rnn.py, so the scan and kernel are
+interchangeable. Parity is tested in interpret mode on CPU
+(tests/gru_pallas_test.py); the compiled kernel runs on the real chip via
+bench/train.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_eligible(n_rows: int, hidden: int, dtype) -> bool:
+    """Shapes the Mosaic lowering handles efficiently: lane dim (H, 3H)
+    multiples of 128, sublane (rows) a multiple of the dtype tile."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    return hidden % 128 == 0 and n_rows % sublane == 0
+
+
+def _gates(xp, hp, h_prev, hidden):
+    """Common gate math in float32. Returns (r, z, n, hn_pre, h_new)."""
+    xr, xz, xn = xp[:, :hidden], xp[:, hidden:2 * hidden], xp[:, 2 * hidden:]
+    hr, hz, hn = hp[:, :hidden], hp[:, hidden:2 * hidden], hp[:, 2 * hidden:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h_prev
+    return r, z, n, hn, h_new
+
+
+def _recurrent_matmul(h, wh_ref, bh_ref, k_dirs, batch, hidden, dtype):
+    """hp = h @ wh + bh per direction block; (N, 3H) float32."""
+    hps = []
+    for k in range(k_dirs):
+        h_k = h[k * batch:(k + 1) * batch].astype(dtype)
+        hp_k = jnp.dot(h_k, wh_ref[k], preferred_element_type=jnp.float32)
+        hps.append(hp_k + bh_ref[k].astype(jnp.float32)[None, :])
+    return jnp.concatenate(hps, axis=0) if k_dirs > 1 else hps[0]
+
+
+def _fwd_kernel(k_dirs, batch, hidden, x_proj_ref, h0_ref, wh_ref, bh_ref,
+                hs_ref, h_buf):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_buf[:, :] = h0_ref[:, :].astype(jnp.float32)
+
+    h_prev = h_buf[:, :]
+    hp = _recurrent_matmul(h_prev, wh_ref, bh_ref, k_dirs, batch, hidden,
+                           wh_ref.dtype)
+    xp = x_proj_ref[0].astype(jnp.float32)
+    _, _, _, _, h_new = _gates(xp, hp, h_prev, hidden)
+    h_buf[:, :] = h_new
+    hs_ref[0] = h_new.astype(hs_ref.dtype)
+
+
+def _bwd_kernel(k_dirs, batch, hidden, x_proj_ref, hs_prev_ref, g_ref,
+                wh_ref, bh_ref, dxp_ref, r_ref, dh0_ref, dh_buf):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)  # first reverse step == t = T-1
+    def _():
+        dh_buf[:, :] = jnp.zeros_like(dh_buf)
+
+    h_prev = hs_prev_ref[0].astype(jnp.float32)
+    hp = _recurrent_matmul(h_prev, wh_ref, bh_ref, k_dirs, batch, hidden,
+                           wh_ref.dtype)
+    xp = x_proj_ref[0].astype(jnp.float32)
+    r, z, n, hn_pre, _ = _gates(xp, hp, h_prev, hidden)
+
+    g_tot = g_ref[0].astype(jnp.float32) + dh_buf[:, :]
+    dn = g_tot * (1.0 - z) * (1.0 - n * n)
+    dz = g_tot * (h_prev - n) * z * (1.0 - z)
+    dr = dn * hn_pre * r * (1.0 - r)
+
+    dxp_ref[0, :, :hidden] = dr
+    dxp_ref[0, :, hidden:2 * hidden] = dz
+    dxp_ref[0, :, 2 * hidden:] = dn
+    r_ref[0] = r
+
+    # dh_prev = g*z + dhp @ wh^T, with dhp = [dr, dz, dn*r]
+    dhp_n = dn * r
+    dh_new_parts = []
+    for k in range(k_dirs):
+        sl = slice(k * batch, (k + 1) * batch)
+        dhp_k = jnp.concatenate(
+            [dr[sl], dz[sl], dhp_n[sl]], axis=1).astype(wh_ref.dtype)
+        # contract dhp (B, 3H) with wh (H, 3H) on the 3H axis == dhp @ wh^T
+        dh_k = jax.lax.dot_general(
+            dhp_k, wh_ref[k], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_new_parts.append(dh_k)
+    dh_w = (jnp.concatenate(dh_new_parts, axis=0) if k_dirs > 1
+            else dh_new_parts[0])
+    dh_buf[:, :] = g_tot * z + dh_w
+    dh0_ref[:, :] = dh_buf[:, :]  # only the final (t == 0) write survives
+
+
+def _split_dirs(x, k_dirs, batch):
+    """(..., K*B, C) -> (..., K, B, C)"""
+    return x.reshape(x.shape[:-2] + (k_dirs, batch, x.shape[-1]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gru_seq_pallas(x_proj, h0, wh, bh, k_dirs: int = 1,
+                   interpret: bool = False):
+    """GRU over a time-major projected sequence, as one Pallas grid.
+
+    Args:
+      x_proj: (T, N, 3H) input projections INCLUDING the input bias,
+        N = k_dirs * B rows (directions stacked along rows).
+      h0: (N, H) initial hidden state.
+      wh: (k_dirs, H, 3H) recurrent weights; bh: (k_dirs, 3H) recurrent bias.
+
+    Returns:
+      hs: (T, N, H) hidden states, dtype of x_proj.
+    """
+    hs, _ = _gru_fwd(x_proj, h0, wh, bh, k_dirs, interpret)
+    return hs
+
+
+def _gru_fwd(x_proj, h0, wh, bh, k_dirs, interpret):
+    t, n, three_h = x_proj.shape
+    hidden = three_h // 3
+    batch = n // k_dirs
+    kern = functools.partial(_fwd_kernel, k_dirs, batch, hidden)
+    hs = pl.pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, n, three_h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_dirs, hidden, three_h), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_dirs, three_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, hidden), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, n, hidden), x_proj.dtype),
+        scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
+        interpret=interpret,
+    )(x_proj, h0, wh, bh)
+    return hs, (x_proj, h0, wh, bh, hs)
+
+
+def _gru_bwd(k_dirs, interpret, residuals, g):
+    x_proj, h0, wh, bh, hs = residuals
+    t, n, three_h = x_proj.shape
+    hidden = three_h // 3
+    batch = n // k_dirs
+    hs_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]], axis=0)
+
+    rev3 = lambda i: (t - 1 - i, 0, 0)
+    kern = functools.partial(_bwd_kernel, k_dirs, batch, hidden)
+    dxp, r_all, dh0 = pl.pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, n, three_h), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hidden), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hidden), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_dirs, hidden, three_h), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_dirs, three_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, three_h), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hidden), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, n, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
+        interpret=interpret,
+    )(x_proj, hs_prev, g, wh, bh)
+
+    # Weight/bias grads: big MXU matmuls in XLA over the whole (T, N) extent.
+    # dhp = [dr, dz, dn * r]; dx_proj = dxp (x_proj enters gates additively).
+    dhp = jnp.concatenate(
+        [dxp[..., :2 * hidden], dxp[..., 2 * hidden:] * r_all], axis=-1)
+    hs_prev_k = _split_dirs(hs_prev.astype(jnp.float32), k_dirs, batch)
+    dhp_k = _split_dirs(dhp, k_dirs, batch)
+    dwh = jnp.einsum("tkbh,tkbj->khj", hs_prev_k, dhp_k)
+    dbh = jnp.sum(dhp_k, axis=(0, 2))
+    return (dxp.astype(x_proj.dtype), dh0.astype(h0.dtype),
+            dwh.astype(wh.dtype), dbh.astype(bh.dtype))
+
+
+gru_seq_pallas.defvjp(_gru_fwd, _gru_bwd)

@@ -32,8 +32,21 @@ def reverse_sequences(x: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.take_along_axis(x, rev.reshape(rev.shape + (1,) * (x.ndim - 2)), axis=1)
 
 
+def _resolve_impl(impl: str, n_rows: int, hidden: int, dtype) -> str:
+    """'auto' -> Pallas on TPU for Mosaic-friendly shapes, scan elsewhere."""
+    if impl != "auto":
+        return impl
+    from speech_tpu.ops.gru_pallas import pallas_eligible
+
+    platform = jax.devices()[0].platform
+    if platform == "tpu" and pallas_eligible(n_rows, hidden, dtype):
+        return "pallas"
+    return "pure"
+
+
 def gru_sequence(x: jax.Array, h0: jax.Array, wi: jax.Array, bi: jax.Array,
-                 wh: jax.Array, bh: jax.Array, unroll: int = 4) -> jax.Array:
+                 wh: jax.Array, bh: jax.Array, unroll: int = 4,
+                 impl: str = "auto") -> jax.Array:
     """Run a GRU over a padded sequence batch.
 
     Args:
@@ -55,6 +68,12 @@ def gru_sequence(x: jax.Array, h0: jax.Array, wi: jax.Array, bi: jax.Array,
     x_proj = x @ wi + bi  # (B, T, 3H)
     x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H) time-major for scan
 
+    if _resolve_impl(impl, x.shape[0], wh.shape[0], x.dtype) == "pallas":
+        from speech_tpu.ops.gru_pallas import gru_seq_pallas
+
+        hs = gru_seq_pallas(x_proj, h0, wh[None], bh[None], 1)
+        return jnp.swapaxes(hs, 0, 1)
+
     def step(h, xp):
         hp = h @ wh + bh  # (B, 3H)
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
@@ -71,7 +90,7 @@ def gru_sequence(x: jax.Array, h0: jax.Array, wi: jax.Array, bi: jax.Array,
 
 def gru_sequence_bidir(x: jax.Array, lengths: jax.Array, wi: jax.Array,
                        bi: jax.Array, wh: jax.Array, bh: jax.Array,
-                       unroll: int = 4) -> jax.Array:
+                       unroll: int = 4, impl: str = "auto") -> jax.Array:
     """Both GRU directions in ONE ``lax.scan`` (TPU: the scan's sequential
     step latency dominates a small recurrent matmul, so running fwd and bwd
     as a direction-batched einsum halves the number of sequential steps
@@ -94,6 +113,17 @@ def gru_sequence_bidir(x: jax.Array, lengths: jax.Array, wi: jax.Array,
     xs = jnp.stack([x, x_rev])  # (2, B, T, D)
     # One big MXU matmul for all timesteps of both directions.
     x_proj = jnp.einsum("kbtd,kdh->tkbh", xs, wi) + bi[None, :, None, :]
+
+    if _resolve_impl(impl, 2 * b, h_dim, x.dtype) == "pallas":
+        from speech_tpu.ops.gru_pallas import gru_seq_pallas
+
+        t = x.shape[1]
+        xp_rows = x_proj.reshape(t, 2 * b, 3 * h_dim)  # directions on rows
+        h0 = jnp.zeros((2 * b, h_dim), x.dtype)
+        hs = gru_seq_pallas(xp_rows, h0, wh, bh, 2)  # (T, 2B, H)
+        fwd = jnp.swapaxes(hs[:, :b], 0, 1)
+        bwd = reverse_sequences(jnp.swapaxes(hs[:, b:], 0, 1), lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)
 
     def step(h, xp):  # h (2, B, H), xp (2, B, 3H)
         hp = jnp.einsum("kbh,khj->kbj", h, wh) + bh[:, None, :]
