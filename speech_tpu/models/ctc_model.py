@@ -74,5 +74,17 @@ class CTCModel(nn.Module):
                                    train=False)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), out_lengths
 
+    def eval_outputs(self, batch: dict) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Loss AND decode inputs from ONE encoder forward (dev eval runs
+        both every batch; the reference recomputes the forward per use,
+        reference train.py:57-58)."""
+        logits, out_lengths = self(batch["inputs"], batch["input_lengths"],
+                                   train=False)
+        loss = ctc_loss_mean(logits, out_lengths, batch["labels"],
+                             batch["label_lengths"], blank=self.blank,
+                             impl=self.ctc_impl)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return loss, lp, out_lengths
+
     def conv_out_size(self, n: int, dim: int = 0) -> int:
         return enc.conv_out_size(self.encoder.conv, n, dim)

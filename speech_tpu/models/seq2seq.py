@@ -194,6 +194,17 @@ class Seq2SeqModel(nn.Module):
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         return nll.sum() / labels.shape[0]
 
+    def per_utterance_loss(self, batch: dict) -> jax.Array:
+        """(B,) summed cross-entropy per utterance (same padded-position
+        convention as ``loss``; used for exact corpus-level dev loss)."""
+        labels = self.end_pad_labels(batch["labels"], batch["label_lengths"])
+        logits, _ = self(batch["inputs"], batch["input_lengths"], labels,
+                         train=False)
+        targets = labels[:, 1:]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return nll.sum(axis=1)
+
     def greedy(self, batch: dict, max_len: int = 200) -> jax.Array:
         """Batched greedy inference (reference infer/infer_decode,
         seq2seq.py:139-178). Returns (B, max_len+1) token ids starting with

@@ -43,17 +43,23 @@ def distributed_eval(model, params, loader, preproc, mesh,
     """
     sharding = batch_sharding(mesh)
     n_data = mesh.shape["data"]
-    dist_sum, len_sum, loss_sum, n_batches = 0, 0, 0.0, 0
+    dist_sum, len_sum, loss_sum, n_utts = 0, 0, 0.0, 0
+
+    @jax.jit
+    def per_utt_loss(p, b):
+        return model.apply({"params": p}, b, method="per_utterance_loss")
 
     for batch in loader:
         true_b = batch["inputs"].shape[0]
         batch = pad_batch_to_multiple(batch, n_data)
         sharded = {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        loss = model.apply({"params": params}, sharded, method="loss")
+        # Per-UTTERANCE losses so padded rows and ragged final batches cannot
+        # bias the corpus mean (loss methods are batch means over padding too).
+        losses = np.asarray(per_utt_loss(params, sharded))
         preds = infer_batch(model, params, sharded, max_len=max_len,
                             beam_size=beam_size)
-        loss_sum += float(loss)
-        n_batches += 1
+        loss_sum += float(losses[:true_b].sum())
+        n_utts += true_b
         for i in range(true_b):
             u = int(batch["label_lengths"][i])
             if u == 0:
@@ -64,7 +70,7 @@ def distributed_eval(model, params, loader, preproc, mesh,
             len_sum += len(label)
 
     sums = _global_sum(np.array([dist_sum, len_sum], np.int64))
-    loss_arr = _global_sum(np.array([loss_sum, n_batches], np.float64))
+    loss_arr = _global_sum(np.array([loss_sum, n_utts], np.float64))
     cer = float(sums[0]) / max(float(sums[1]), 1.0)
     mean_loss = float(loss_arr[0]) / max(float(loss_arr[1]), 1.0)
     return mean_loss, cer

@@ -240,12 +240,78 @@ def encoder_seq_sharded(mesh: Mesh, params: dict, config,
 def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
                       bwd_w: Sequence[jax.Array],
                       valid_len: int | None = None) -> jax.Array:
-    """Bidirectional layer: both wavefronts run in the same n stages (forward
-    rolls left->right while backward rolls right->left), outputs summed like
-    the encoder's final layer (reference model.py:75-77 sums directions).
+    """Bidirectional layer as ONE combined wavefront: both directions ride
+    the same n stages (forward rolls left->right while backward rolls
+    right->left), so the layer costs n*L sequential steps, not 2*n*L. Per
+    stage every device scans a direction-stacked (2B, L) chunk — the
+    backward direction's chunk is pre-reversed locally so a single forward
+    ``lax.scan`` serves both — and each direction's carry ``ppermute``s to
+    its own next device (fwd: i->i+1, bwd: i->i-1).
 
-    fwd_w / bwd_w: (wi, bi, wh, bh). Returns (B, T, 2H) concat [fwd, bwd].
+    fwd_w / bwd_w: (wi, bi, wh, bh). Returns (B, T, 2H) concat [fwd, bwd],
+    time-sharded like the input.
     """
-    fwd = gru_seq_sharded(mesh, x, *fwd_w, reverse=False, valid_len=valid_len)
-    bwd = gru_seq_sharded(mesh, x, *bwd_w, reverse=True, valid_len=valid_len)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    n = mesh.shape["seq"]
+    h_dim = fwd_w[2].shape[0]
+    local_t = x.shape[1] // n
+    wi = jnp.stack([fwd_w[0], bwd_w[0]])  # (2, D, 3H)
+    bi = jnp.stack([fwd_w[1], bwd_w[1]])
+    wh = jnp.stack([fwd_w[2], bwd_w[2]])
+    bh = jnp.stack([fwd_w[3], bwd_w[3]])
+
+    def local(xs, wi, bi, wh, bh):
+        idx = jax.lax.axis_index("seq")
+        b = xs.shape[0]
+        # (2, B, L, 3H): input projections per direction (one MXU matmul).
+        xp = jnp.einsum("bld,kdj->kblj", xs, wi) + bi[:, None, None, :]
+        xp = jnp.stack([xp[0], xp[1][:, ::-1]])  # bwd chunk pre-reversed
+        if valid_len is None:
+            valid = jax.lax.pvary(jnp.ones((local_t,), bool), ("seq",))
+        else:
+            pos = idx * local_t + jnp.arange(local_t)
+            valid = pos < valid_len
+        # (2, 1, L, 1): bwd uses the reversed mask to match its chunk order.
+        vmask = jnp.stack([valid, valid[::-1]])[:, None, :, None]
+
+        def step(h, xs_t):  # h (2, B, H); xs_t: xp (2, B, 3H), v (2, 1, 1)
+            xp_t, v = xs_t
+            hp = jnp.einsum("kbh,khj->kbj", h, wh) + bh[:, None, :]
+            xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            cand = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * cand + z * h
+            h_new = jnp.where(v, h_new, h)
+            return h_new, jnp.where(v, h_new, 0)
+
+        xs_scan = (jnp.moveaxis(xp, 2, 0), jnp.moveaxis(vmask, 2, 0))
+
+        def stage(s, carry):
+            h, out = carry  # h (2, B, H); out (2, B, L, H)
+            last, hs = jax.lax.scan(step, h, xs_scan, unroll=4)
+            hs = jnp.moveaxis(hs, 0, 2)  # (2, B, L, H)
+            mine_f = idx == s
+            mine_b = idx == (n - 1 - s)
+            mine = jnp.stack([mine_f, mine_b])[:, None, None, None]
+            out = jnp.where(mine, hs, out)
+            h_f = jax.lax.ppermute(jnp.where(mine_f, last[0], h[0]), "seq",
+                                   [(i, (i + 1) % n) for i in range(n)])
+            h_b = jax.lax.ppermute(jnp.where(mine_b, last[1], h[1]), "seq",
+                                   [(i, (i - 1) % n) for i in range(n)])
+            h = jnp.stack([jnp.where(idx == s + 1, h_f, h[0]),
+                           jnp.where(idx == n - 2 - s, h_b, h[1])])
+            return (h, out)
+
+        h0 = jax.lax.pvary(jnp.zeros((2, b, h_dim), xs.dtype), ("seq",))
+        out0 = jax.lax.pvary(
+            jnp.zeros((2, b, local_t, h_dim), xs.dtype), ("seq",))
+        _, out = jax.lax.fori_loop(0, n, stage, (h0, out0))
+        # un-reverse the backward direction's chunk-local order
+        return jnp.concatenate([out[0], out[1][:, ::-1]], axis=-1)
+
+    spec_t = P(None, "seq", None)
+    rep = P()
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec_t, rep, rep, rep, rep),
+                     out_specs=spec_t)(x, wi, bi, wh, bh)

@@ -66,15 +66,56 @@ def make_train_step(model, tx) -> Callable:
     return step
 
 
-def make_eval_step(model) -> Callable:
-    @jax.jit
-    def step(params, batch):
-        loss = model.apply({"params": params}, batch, method="loss")
-        log_probs, lengths = model.apply({"params": params}, batch,
-                                         method="log_probs")
-        return loss, log_probs, lengths
+def make_eval_step(model, max_len: int = 200) -> Callable:
+    """Jitted dev-eval step per model family: batch-mean loss plus the
+    greedy-decode tensors, one compiled program per bucket shape (the
+    reference's dev eval is an eager forward per use, train.py:51-70).
+    Returns ``step(params, batch) -> (loss, decoded)`` where ``decoded``
+    feeds :func:`postprocess_decoded`."""
+    from speech_tpu.models.seq2seq import Seq2SeqModel
+    from speech_tpu.models.transducer import TransducerModel
 
+    if isinstance(model, TransducerModel):
+        @jax.jit
+        def step(params, batch):
+            loss = model.apply({"params": params}, batch, method="loss")
+            out = model.apply({"params": params}, batch, method="greedy")
+            return loss, out
+    elif isinstance(model, Seq2SeqModel):
+        @jax.jit
+        def step(params, batch):
+            loss = model.apply({"params": params}, batch, method="loss")
+            ys = model.apply({"params": params}, batch, max_len,
+                             method="greedy")
+            return loss, ys
+    else:  # CTC: loss + log_probs share one encoder forward (eval_outputs)
+        @jax.jit
+        def step(params, batch):
+            loss, lp, lengths = model.apply({"params": params}, batch,
+                                            method="eval_outputs")
+            return loss, (lp, lengths)
     return step
+
+
+def postprocess_decoded(model, decoded) -> list[list[int]]:
+    """Host-side cleanup of a jitted greedy decode's raw tensors into
+    per-utterance token lists (family-dispatched, matching infer_batch)."""
+    from speech_tpu.models.seq2seq import Seq2SeqModel
+    from speech_tpu.models.transducer import TransducerModel
+
+    if isinstance(model, TransducerModel):
+        out = np.asarray(decoded)
+        return [row[row != model.blank].tolist() for row in out]
+    if isinstance(model, Seq2SeqModel):
+        out = []
+        for row in np.asarray(decoded):
+            toks = row.tolist()
+            if model.end_idx in toks[1:]:
+                toks = toks[: toks[1:].index(model.end_idx) + 2]
+            out.append(toks)
+        return out
+    log_probs, lengths = decoded
+    return ctc_greedy_decode(log_probs, lengths, blank=model.blank)
 
 
 def init_params(model, input_dim: int, rng_key) -> Any:
@@ -152,8 +193,7 @@ def infer_batch(model, params, batch, max_len: int = 200,
                                         beam_size=beam_size)
             return preds
         out = model.apply({"params": params}, batch, method="greedy")
-        out = np.asarray(out)
-        return [row[row != model.blank].tolist() for row in out]
+        return postprocess_decoded(model, out)
     if isinstance(model, Seq2SeqModel):
         if beam_size > 0:
             from speech_tpu.decode.seq2seq_beam import seq2seq_beam_search
@@ -163,15 +203,7 @@ def infer_batch(model, params, batch, max_len: int = 200,
         else:
             ys = model.apply({"params": params}, batch, max_len,
                              method="greedy")
-        ys = np.asarray(ys)
-        out = []
-        for row in ys:
-            toks = row.tolist()
-            # cut at the first </s> after the leading <s>
-            if model.end_idx in toks[1:]:
-                toks = toks[: toks[1:].index(model.end_idx) + 2]
-            out.append(toks)
-        return out
+        return postprocess_decoded(model, ys)
     log_probs, lengths = model.apply({"params": params}, batch,
                                      method="log_probs")
     if beam_size > 0:
@@ -180,22 +212,31 @@ def infer_batch(model, params, batch, max_len: int = 200,
         labels, _ = ctc_beam_decode(log_probs, lengths, beam_size=beam_size,
                                     blank=model.blank)
         return labels
-    return ctc_greedy_decode(log_probs, lengths, blank=model.blank)
+    return postprocess_decoded(model, (log_probs, lengths))
 
 
 def eval_dev(model, params, loader: Loader, preproc: Preprocessor,
              eval_step=None, verbose: bool = True):
-    """Dev loss + corpus CER (reference eval_dev, train.py:51-70)."""
-    losses, results = [], []
+    """Dev loss + corpus CER (reference eval_dev, train.py:51-70).
+
+    Runs one jitted loss+greedy-decode program per bucket shape
+    (make_eval_step); loss is averaged per UTTERANCE, not per batch, so
+    drop_last=False final batches do not bias it."""
+    if eval_step is None:
+        eval_step = make_eval_step(model)
+    loss_sum, n_utts = 0.0, 0
+    results = []
     for batch in loader:
-        loss = model.apply({"params": params}, batch, method="loss")
-        preds = infer_batch(model, params, batch)
-        losses.append(float(loss))
-        for b in range(len(preds)):
-            u = int(batch["label_lengths"][b])
-            label = batch["labels"][b, :u].tolist()
-            results.append((label, preds[b]))
-    avg_loss = float(np.mean(losses)) if losses else float("nan")
+        loss, decoded = eval_step(params, batch)
+        preds = postprocess_decoded(model, decoded)
+        b = len(preds)
+        loss_sum += float(loss) * b  # model losses are batch means
+        n_utts += b
+        for i in range(b):
+            u = int(batch["label_lengths"][i])
+            label = batch["labels"][i, :u].tolist()
+            results.append((label, preds[i]))
+    avg_loss = loss_sum / n_utts if n_utts else float("nan")
     results = [(preproc.decode(l), preproc.decode(p)) for l, p in results]
     cer = compute_cer(results)
     if verbose:
@@ -277,6 +318,7 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     else:
         train_step = make_train_step(model, tx)
         place_batch = None
+    eval_step = make_eval_step(model)  # hoisted: jit cache lives across epochs
     avg_loss = 0.0
     summary = {"best_dev_cer": best_so_far, "steps": it, "epochs_run": 0}
 
@@ -297,6 +339,7 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
             logger.log_value("model_time", times["model_t"], epoch)
             logger.log_value("data_time", times["data_t"], epoch)
 
+            eval_start = time.time()
             if mesh is not None:
                 from speech_tpu.parallel.eval import distributed_eval
 
@@ -306,9 +349,11 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
                     print(f"  dev loss {dev_loss:.3f}, dev cer {dev_cer:.3f}")
             else:
                 dev_loss, dev_cer = eval_dev(model, params, dev_ldr, preproc,
+                                             eval_step=eval_step,
                                              verbose=verbose)
             logger.log_value("dev_loss", dev_loss, epoch)
             logger.log_value("dev_cer", dev_cer, epoch)
+            logger.log_value("dev_eval_time", time.time() - eval_start, epoch)
 
             best_so_far = min(best_so_far, dev_cer)
             ckpt.save_train_state(save_path, jax.device_get(params),
