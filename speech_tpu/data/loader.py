@@ -72,14 +72,18 @@ class AudioDataset:
 
 
 def _collate(examples: list[tuple[np.ndarray, list[int]]], time_mult: int,
-             label_mult: int) -> dict[str, np.ndarray]:
-    """Pad a list of (features, label_ids) to quantized static shapes."""
+             label_mult: int, t_pad: Optional[int] = None,
+             u_pad: Optional[int] = None) -> dict[str, np.ndarray]:
+    """Pad a list of (features, label_ids) to quantized static shapes.
+    ``t_pad``/``u_pad`` force the padded shape (multi-host lockstep)."""
     b = len(examples)
     feat_dim = examples[0][0].shape[1]
     t_lens = np.array([x.shape[0] for x, _ in examples], dtype=np.int32)
     u_lens = np.array([len(y) for _, y in examples], dtype=np.int32)
-    t_pad = round_up(int(t_lens.max()), time_mult)
-    u_pad = round_up(max(int(u_lens.max()), 1), label_mult)
+    if t_pad is None:
+        t_pad = round_up(int(t_lens.max()), time_mult)
+    if u_pad is None:
+        u_pad = round_up(max(int(u_lens.max()), 1), label_mult)
     inputs = np.zeros((b, t_pad, feat_dim), dtype=np.float32)
     labels = np.zeros((b, u_pad), dtype=np.int32)
     for i, (x, y) in enumerate(examples):
@@ -94,38 +98,140 @@ def _collate(examples: list[tuple[np.ndarray, list[int]]], time_mult: int,
 
 
 class Loader:
-    """Iterable over an epoch of static-shape batches, with threaded prefetch."""
+    """Iterable over an epoch of static-shape batches, with threaded prefetch.
+
+    Multi-host data parallelism (SURVEY §2.2 DP row): pass
+    ``process_shard=(jax.process_index(), jax.process_count())`` and each host
+    featurizes ONLY its row-slice of every global batch — batch *order* stays
+    in lockstep across hosts (same seed), and padded shapes are computed from
+    manifest metadata alone so every host compiles the same shapes without
+    seeing the other hosts' audio. Feed the local slices to
+    ``parallel.shard_batch`` which assembles the global array via
+    ``jax.make_array_from_process_local_data``.
+    """
 
     def __init__(self, dataset: AudioDataset, batch_size: int,
                  num_workers: int = 4, time_mult: int = 100,
                  label_mult: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4, native: bool = True):
+                 prefetch: int = 4, native: bool = True,
+                 process_shard: tuple[int, int] = (0, 1),
+                 raw_audio: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.native = native
+        self.raw_audio = raw_audio
         self.num_workers = max(1, num_workers)
         self.time_mult = time_mult
         self.label_mult = label_mult
         self.seed = seed
         self.epoch = 0
         self.prefetch = max(1, prefetch)
+        self.process_index, self.process_count = process_shard
+        if self.process_count > 1 and batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {self.process_count}")
         n = len(dataset)
         end = n - batch_size + 1 if drop_last else n
         self.batches = [list(range(i, min(i + batch_size, n)))
                         for i in range(0, max(end, 0), batch_size)]
+        if self.process_count > 1:
+            # Sharded iteration needs full batches (equal local slices).
+            self.batches = [b for b in self.batches if len(b) == batch_size]
 
     def __len__(self) -> int:
         return len(self.batches)
 
+    def _sample_rate(self) -> int:
+        """Probe (and cache) the corpus sample rate from one wav header."""
+        sr = getattr(self, "_sr", None)
+        if sr is None:
+            import wave as wave_mod
+
+            with wave_mod.open(self.dataset.data[0]["audio"], "rb") as w:
+                sr = w.getframerate()
+            self._sr = sr
+        return sr
+
+    def _global_pad_shapes(self, idxs: list[int]) -> tuple[int, int]:
+        """(t_pad, u_pad) for a GLOBAL batch from manifest metadata only, so
+        every host computes identical shapes without reading the other hosts'
+        audio. Frame counts are estimated from the manifest duration (+1 frame
+        of headroom absorbs duration-rounding error)."""
+        from speech_tpu.data import features as F
+
+        sr = self._sample_rate()
+        data = [self.dataset.data[i] for i in idxs]
+        est = max(F.num_frames(int(round(d["duration"] * sr)), sr)
+                  for d in data)
+        t_pad = round_up(est + 1, self.time_mult)
+        off = 2 if self.dataset.preproc.start_and_end else 0
+        u = max(len(list(d["text"])) + off for d in data)
+        u_pad = round_up(max(u, 1), self.label_mult)
+        return t_pad, u_pad
+
     def _make_batch(self, idxs: list[int]) -> dict[str, np.ndarray]:
+        t_pad = u_pad = None
+        if self.process_count > 1:
+            t_pad, u_pad = self._global_pad_shapes(idxs)
+            k = len(idxs) // self.process_count
+            idxs = idxs[self.process_index * k:(self.process_index + 1) * k]
+        if self.raw_audio:
+            return self._make_batch_raw(idxs, t_pad, u_pad)
         if self.native:
-            batch = self._make_batch_native(idxs)
+            batch = self._make_batch_native(idxs, t_pad, u_pad)
             if batch is not None:
                 return batch
         examples = [self.dataset[i] for i in idxs]
-        return _collate(examples, self.time_mult, self.label_mult)
+        return _collate(examples, self.time_mult, self.label_mult, t_pad, u_pad)
 
-    def _make_batch_native(self, idxs: list[int]) -> Optional[dict[str, np.ndarray]]:
+    def _encode_labels(self, data: list[dict], u_pad: Optional[int]
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        preproc = self.dataset.preproc
+        labels_list = [preproc.encode(d["text"]) for d in data]
+        u_lens = np.array([len(y) for y in labels_list], dtype=np.int32)
+        if u_pad is None:
+            u_pad = round_up(max(int(u_lens.max()), 1), self.label_mult)
+        labels = np.zeros((len(data), u_pad), dtype=np.int32)
+        for i, y in enumerate(labels_list):
+            labels[i, : len(y)] = y
+        return labels, u_lens
+
+    def _make_batch_raw(self, idxs: list[int], t_pad: Optional[int] = None,
+                        u_pad: Optional[int] = None) -> dict[str, np.ndarray]:
+        """Raw-waveform batch for the on-device featurization frontend
+        (data.frontend.OnDeviceFrontend): ships ``waveforms`` (B, S_pad)
+        float32 instead of host features; featurization happens inside the
+        jitted step. S_pad is derived from the frame budget so the frontend
+        produces exactly t_pad frames."""
+        from speech_tpu.data import features as F
+        from speech_tpu.data.frontend import samples_for_frames
+        from speech_tpu.utils import wave
+
+        data = [self.dataset.data[i] for i in idxs]
+        auds = []
+        for d in data:
+            a, sr = wave.array_from_wave(d["audio"])
+            if a.ndim > 1:
+                a = a.mean(axis=-1)
+            auds.append((np.asarray(a, np.float32), sr))
+        sr = auds[0][1]
+        t_lens = np.array([F.num_frames(a.shape[0], sr) for a, _ in auds],
+                          dtype=np.int32)
+        if t_pad is None:
+            t_pad = round_up(int(t_lens.max()), self.time_mult)
+        s_pad = samples_for_frames(t_pad, sr)
+        wavs = np.zeros((len(data), s_pad), dtype=np.float32)
+        for i, (a, _) in enumerate(auds):
+            n = min(a.shape[0], s_pad)
+            wavs[i, :n] = a[:n]
+        labels, u_lens = self._encode_labels(data, u_pad)
+        return {"waveforms": wavs, "input_lengths": t_lens,
+                "labels": labels, "label_lengths": u_lens}
+
+    def _make_batch_native(self, idxs: list[int], t_pad: Optional[int] = None,
+                           u_pad: Optional[int] = None
+                           ) -> Optional[dict[str, np.ndarray]]:
         """Featurize a whole batch with the native C++ thread pool (wav decode
         + STFT + log + normalize outside the GIL — speech_tpu/native/
         featurizer.cc). Returns None to fall back on any error (non-PCM file,
@@ -137,19 +243,15 @@ class Loader:
         preproc = self.dataset.preproc
         data = [self.dataset.data[i] for i in idxs]
         try:
-            t_max = max(native.num_frames_file(d["audio"]) for d in data)
-            t_pad = round_up(t_max, self.time_mult)
+            if t_pad is None:
+                t_max = max(native.num_frames_file(d["audio"]) for d in data)
+                t_pad = round_up(t_max, self.time_mult)
             inputs, t_lens = native.featurize_batch(
                 [d["audio"] for d in data], t_pad, preproc.input_dim,
                 mean=preproc.mean, std=preproc.std)
         except IOError:
             return None
-        labels_list = [preproc.encode(d["text"]) for d in data]
-        u_lens = np.array([len(y) for y in labels_list], dtype=np.int32)
-        u_pad = round_up(max(int(u_lens.max()), 1), self.label_mult)
-        labels = np.zeros((len(data), u_pad), dtype=np.int32)
-        for i, y in enumerate(labels_list):
-            labels[i, : len(y)] = y
+        labels, u_lens = self._encode_labels(data, u_pad)
         return {"inputs": inputs, "input_lengths": t_lens,
                 "labels": labels, "label_lengths": u_lens}
 
@@ -185,10 +287,17 @@ class Loader:
 def make_loader(dataset_json: str, preproc: Preprocessor, batch_size: int,
                 num_workers: int = 4, time_mult: int = 100, label_mult: int = 8,
                 seed: int = 0, drop_last: bool = True,
-                dataset: Optional[AudioDataset] = None) -> Loader:
-    """Build a Loader over a manifest (reference make_loader, loader.py:139-150)."""
+                dataset: Optional[AudioDataset] = None,
+                process_shard: tuple[int, int] = (0, 1),
+                raw_audio: bool = False) -> Loader:
+    """Build a Loader over a manifest (reference make_loader, loader.py:139-150).
+
+    ``process_shard=(process_index, process_count)`` enables per-host input
+    sharding for multi-host DP: each host featurizes only its slice of every
+    global batch (see Loader docstring)."""
     if dataset is None:
         dataset = AudioDataset(dataset_json, preproc, batch_size)
     return Loader(dataset, batch_size, num_workers=num_workers,
                   time_mult=time_mult, label_mult=label_mult, seed=seed,
-                  drop_last=drop_last)
+                  drop_last=drop_last, process_shard=process_shard,
+                  raw_audio=raw_audio)

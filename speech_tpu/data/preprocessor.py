@@ -40,9 +40,18 @@ class Preprocessor:
                  start_and_end: bool = True, seed: int = 0,
                  tokens: Optional[Sequence[str]] = None,
                  mean: Optional[np.ndarray] = None,
-                 std: Optional[np.ndarray] = None):
+                 std: Optional[np.ndarray] = None,
+                 feature_type: str = "logspec", n_mels: int = 0):
         """Fit from a JSONL manifest (when ``data_json`` is given) or build
-        from explicit fields (restore path)."""
+        from explicit fields (restore path).
+
+        ``feature_type``: "logspec" (reference parity, loader.py:156-166) or
+        "logmel" with ``n_mels`` mel bins (framework extension — the usual
+        front end at LibriSpeech scale)."""
+        self.feature_type = feature_type
+        self.n_mels = int(n_mels)
+        if feature_type == "logmel" and self.n_mels <= 0:
+            raise ValueError("logmel features need n_mels > 0")
         if data_json is not None:
             data = read_data_json(data_json)
             if not data:
@@ -50,7 +59,9 @@ class Preprocessor:
             audio_files = [d["audio"] for d in data]
             rng = random.Random(seed)
             rng.shuffle(audio_files)
-            self.mean, self.std = compute_mean_std(audio_files[:max_samples])
+            self.mean, self.std = compute_mean_std(
+                audio_files[:max_samples], feature_type=feature_type,
+                n_mels=self.n_mels)
             # Deterministic vocabulary: sorted symbol set, then END and START
             # appended so START is the final index (reference loader.py:39-43).
             symbols = sorted(set(t for d in data for t in d["text"]))
@@ -89,20 +100,29 @@ class Preprocessor:
     def normalize(self, feats: np.ndarray) -> np.ndarray:
         return ((feats - self.mean) / self.std).astype(np.float32)
 
+    def featurize_host(self, wave_file: str) -> np.ndarray:
+        """Un-normalized host-side features for one file."""
+        from speech_tpu.utils import wave
+
+        audio, sr = wave.array_from_wave(wave_file)
+        if self.feature_type == "logmel":
+            return F.log_mel_np(audio, sr, self.n_mels)
+        return F.log_specgram_np(audio, sr)
+
     def preprocess(self, wave_file: str, text) -> tuple[np.ndarray, list[int]]:
         from speech_tpu.native import featurizer as native
 
-        if native.available():
+        if self.feature_type == "logspec" and native.available():
             # Featurize + normalize in one native call (GIL-free); numerics
-            # match the numpy path (tests/native_featurizer_test.py).
+            # match the numpy path (tests/native_featurizer_test.py). The
+            # native kernel only implements the log-spectrogram path.
             try:
                 inputs = native.log_specgram_file(
                     wave_file, mean=self.mean, std=self.std)
                 return inputs, self.encode(text)
             except IOError:
                 pass  # non-PCM or rate-mismatched file: numpy fallback
-        inputs = F.log_specgram_from_file(wave_file)
-        return self.normalize(inputs), self.encode(text)
+        return self.normalize(self.featurize_host(wave_file)), self.encode(text)
 
     @property
     def input_dim(self) -> int:
@@ -116,7 +136,8 @@ class Preprocessor:
 
     def save(self, model_dir: str) -> None:
         os.makedirs(model_dir, exist_ok=True)
-        meta = {"tokens": self.tokens, "start_and_end": self.start_and_end}
+        meta = {"tokens": self.tokens, "start_and_end": self.start_and_end,
+                "feature_type": self.feature_type, "n_mels": self.n_mels}
         tmp = os.path.join(model_dir, _PREPROC_JSON + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -129,12 +150,23 @@ class Preprocessor:
             meta = json.load(f)
         arrs = np.load(os.path.join(model_dir, _PREPROC_NPZ))
         return cls(tokens=meta["tokens"], start_and_end=meta["start_and_end"],
-                   mean=arrs["mean"], std=arrs["std"])
+                   mean=arrs["mean"], std=arrs["std"],
+                   feature_type=meta.get("feature_type", "logspec"),
+                   n_mels=meta.get("n_mels", 0))
 
 
-def compute_mean_std(audio_files: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Per-frequency-bin mean/std over the given files (reference loader.py:79-85)."""
-    samples = [F.log_specgram_from_file(af) for af in audio_files]
+def compute_mean_std(audio_files: Sequence[str], feature_type: str = "logspec",
+                     n_mels: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-feature-bin mean/std over the given files (reference loader.py:79-85)."""
+    from speech_tpu.utils import wave
+
+    samples = []
+    for af in audio_files:
+        audio, sr = wave.array_from_wave(af)
+        if feature_type == "logmel":
+            samples.append(F.log_mel_np(audio, sr, n_mels))
+        else:
+            samples.append(F.log_specgram_np(audio, sr))
     stacked = np.vstack(samples)
     return (stacked.mean(axis=0).astype(np.float32),
             stacked.std(axis=0).astype(np.float32))

@@ -33,13 +33,14 @@ def _global_sum(values: np.ndarray) -> np.ndarray:
 
 
 def distributed_eval(model, params, loader, preproc, mesh,
-                     beam_size: int = 0, max_len: int = 200
-                     ) -> tuple[float, float]:
+                     beam_size: int = 0, max_len: int = 200,
+                     frontend=None) -> tuple[float, float]:
     """Returns (mean dev loss, corpus CER) over the full dataset.
 
     ``loader`` yields this host's batches (all hosts iterate the same manifest
     in lockstep for single-process runs; for multi-host, give each host its
-    own shard of the manifest).
+    own shard of the manifest). ``frontend``: optional on-device featurizer
+    applied (jitted) before inference when the loader ships raw waveforms.
     """
     sharding = batch_sharding(mesh)
     n_data = mesh.shape["data"]
@@ -49,7 +50,12 @@ def distributed_eval(model, params, loader, preproc, mesh,
     def per_utt_loss(p, b):
         return model.apply({"params": p}, b, method="per_utterance_loss")
 
+    featurize = jax.jit(frontend.featurize) if frontend is not None else None
+
     for batch in loader:
+        if featurize is not None and "waveforms" in batch:
+            batch = dict(batch)
+            batch["inputs"] = np.asarray(featurize(batch.pop("waveforms")))
         true_b = batch["inputs"].shape[0]
         batch = pad_batch_to_multiple(batch, n_data)
         sharded = {k: jax.device_put(v, sharding) for k, v in batch.items()}

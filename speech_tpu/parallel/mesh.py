@@ -45,9 +45,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch dict with leading-axis sharding."""
+    """Place a host batch dict with leading-axis (data) sharding.
+
+    Single-process: a plain device_put. Multi-host: ``batch`` holds THIS
+    host's rows only (see data.loader Loader process_shard) and the global
+    array is assembled with ``jax.make_array_from_process_local_data`` —
+    each host's shard lands on its local devices, no cross-host copy.
+    """
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
@@ -68,7 +77,8 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     return out
 
 
-def make_parallel_train_step(model, tx, mesh: Mesh, params=None):
+def make_parallel_train_step(model, tx, mesh: Mesh, params=None,
+                             frontend=None):
     """Mesh-parallel version of training.trainer.make_train_step.
 
     Data parallel: batch sharded on the ``data`` axis, gradient all-reduce
@@ -88,14 +98,17 @@ def make_parallel_train_step(model, tx, mesh: Mesh, params=None):
     bsh = batch_sharding(mesh)
 
     def step_fn(params, opt_state, batch, rng):
+        if frontend is not None:
+            batch = frontend(batch)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, grad_norm
 
+    in_key = "waveforms" if frontend is not None else "inputs"
     batch_shardings = {
-        "inputs": bsh, "input_lengths": bsh, "labels": bsh,
+        in_key: bsh, "input_lengths": bsh, "labels": bsh,
         "label_lengths": bsh,
     }
     if params is not None and mesh.shape.get("model", 1) > 1:

@@ -37,6 +37,21 @@ from speech_tpu.utils.score import compute_cer
 DEFAULT_GRAD_CLIP = 200.0  # reference train.py:32
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Point XLA's persistent compilation cache at a stable directory so the
+    per-bucket-shape jit programs compile once ever, not once per run.
+    Length-bucketed static shapes (data.time_mult/label_mult) keep the shape
+    set small; this keeps repeat runs from paying even that."""
+    import os
+
+    path = path or os.environ.get(
+        "SPEECH_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/speech_tpu/xla_cache"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def make_optimizer(opt_cfg: dict) -> optax.GradientTransformation:
     lr = opt_cfg["learning_rate"]
     momentum = opt_cfg.get("momentum", 0.0)
@@ -47,8 +62,12 @@ def make_optimizer(opt_cfg: dict) -> optax.GradientTransformation:
     )
 
 
-def make_train_step(model, tx) -> Callable:
-    """Build the jitted training step: loss, grads, clip, SGD update."""
+def make_train_step(model, tx, frontend: Optional[Callable] = None) -> Callable:
+    """Build the jitted training step: loss, grads, clip, SGD update.
+
+    ``frontend``: optional on-device featurization (data.frontend.
+    OnDeviceFrontend) mapping a raw-waveform batch to a feature batch INSIDE
+    the jitted program."""
 
     def loss_fn(params, batch, rng):
         k_drop, k_sample = jax.random.split(rng)
@@ -57,6 +76,8 @@ def make_train_step(model, tx) -> Callable:
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
+        if frontend is not None:
+            batch = frontend(batch)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -66,7 +87,8 @@ def make_train_step(model, tx) -> Callable:
     return step
 
 
-def make_eval_step(model, max_len: int = 200) -> Callable:
+def make_eval_step(model, max_len: int = 200,
+                   frontend: Optional[Callable] = None) -> Callable:
     """Jitted dev-eval step per model family: batch-mean loss plus the
     greedy-decode tensors, one compiled program per bucket shape (the
     reference's dev eval is an eager forward per use, train.py:51-70).
@@ -75,15 +97,18 @@ def make_eval_step(model, max_len: int = 200) -> Callable:
     from speech_tpu.models.seq2seq import Seq2SeqModel
     from speech_tpu.models.transducer import TransducerModel
 
+    fe = frontend if frontend is not None else (lambda b: b)
     if isinstance(model, TransducerModel):
         @jax.jit
         def step(params, batch):
+            batch = fe(batch)
             loss = model.apply({"params": params}, batch, method="loss")
             out = model.apply({"params": params}, batch, method="greedy")
             return loss, out
     elif isinstance(model, Seq2SeqModel):
         @jax.jit
         def step(params, batch):
+            batch = fe(batch)
             loss = model.apply({"params": params}, batch, method="loss")
             ys = model.apply({"params": params}, batch, max_len,
                              method="greedy")
@@ -91,6 +116,7 @@ def make_eval_step(model, max_len: int = 200) -> Callable:
     else:  # CTC: loss + log_probs share one encoder forward (eval_outputs)
         @jax.jit
         def step(params, batch):
+            batch = fe(batch)
             loss, lp, lengths = model.apply({"params": params}, batch,
                                             method="eval_outputs")
             return loss, (lp, lengths)
@@ -252,23 +278,40 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     seed = config.get("seed", 2017)
     random.seed(seed)
     np.random.seed(seed)
+    if config.get("compilation_cache", True):
+        enable_compilation_cache(config.get("compilation_cache_dir"))
 
     data_cfg = config["data"]
     opt_cfg = config["optimizer"]
     save_path = config["save_path"]
 
+    # Multi-host first: process topology decides the input sharding below.
+    par_cfg = config.get("parallel", {})
+    if par_cfg.get("enabled", False) and par_cfg.get("multihost", False):
+        jax.distributed.initialize()
+
+    feat_cfg = data_cfg.get("features", {})
     preproc = Preprocessor(data_cfg["train_set"],
                            start_and_end=data_cfg.get("start_and_end", True),
-                           seed=seed)
+                           seed=seed,
+                           feature_type=feat_cfg.get("type", "logspec"),
+                           n_mels=feat_cfg.get("n_mels", 0))
     batch_size = opt_cfg["batch_size"]
+    on_device_features = data_cfg.get("on_device_features", False)
     loader_kwargs = dict(
         time_mult=data_cfg.get("time_mult", 100),
         label_mult=data_cfg.get("label_mult", 8),
         num_workers=data_cfg.get("num_workers", 4),
         seed=seed,
+        raw_audio=on_device_features,
     )
+    # Per-host input sharding (SURVEY §2.2 DP row): the train loader on each
+    # host featurizes only its slice of every global batch; batch order stays
+    # in lockstep (same seed). Dev stays unsharded so every host computes
+    # identical dev metrics and checkpoint decisions never diverge.
+    proc_shard = (jax.process_index(), jax.process_count())
     train_ldr = make_loader(data_cfg["train_set"], preproc, batch_size,
-                            **loader_kwargs)
+                            process_shard=proc_shard, **loader_kwargs)
     dev_ldr = make_loader(data_cfg["dev_set"], preproc, batch_size,
                           drop_last=False, **loader_kwargs)
 
@@ -279,14 +322,11 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     opt_state = tx.init(params)
 
     # Optional mesh parallelism (config "parallel" section; SURVEY §2.2).
-    par_cfg = config.get("parallel", {})
     mesh = None
     if par_cfg.get("enabled", False):
         from speech_tpu.parallel import make_mesh
         from speech_tpu.parallel.mesh import replicated
 
-        if par_cfg.get("multihost", False):
-            jax.distributed.initialize()
         mesh = make_mesh(n_data=par_cfg.get("n_data"),
                          n_model=par_cfg.get("n_model", 1))
         if batch_size % mesh.shape["data"] != 0:
@@ -310,15 +350,22 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
         if verbose:
             print(f"resumed from {save_path} at epoch {start_epoch}, step {it}")
 
+    frontend = None
+    if on_device_features:
+        from speech_tpu.data.frontend import OnDeviceFrontend
+
+        frontend = OnDeviceFrontend(preproc, train_ldr._sample_rate())
     if mesh is not None:
         from speech_tpu.parallel import make_parallel_train_step, shard_batch
 
-        train_step = make_parallel_train_step(model, tx, mesh, params=params)
+        train_step = make_parallel_train_step(model, tx, mesh, params=params,
+                                              frontend=frontend)
         place_batch = lambda b: shard_batch(b, mesh)
     else:
-        train_step = make_train_step(model, tx)
+        train_step = make_train_step(model, tx, frontend=frontend)
         place_batch = None
-    eval_step = make_eval_step(model)  # hoisted: jit cache lives across epochs
+    # hoisted: jit cache lives across epochs
+    eval_step = make_eval_step(model, frontend=frontend)
     avg_loss = 0.0
     summary = {"best_dev_cer": best_so_far, "steps": it, "epochs_run": 0}
 
@@ -344,7 +391,8 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
                 from speech_tpu.parallel.eval import distributed_eval
 
                 dev_loss, dev_cer = distributed_eval(model, params, dev_ldr,
-                                                     preproc, mesh)
+                                                     preproc, mesh,
+                                                     frontend=frontend)
                 if verbose:
                     print(f"  dev loss {dev_loss:.3f}, dev cer {dev_cer:.3f}")
             else:

@@ -25,6 +25,29 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (exhaustive parity "
+                          "sweeps, full config training loops)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: exhaustive/integration test excluded from the "
+        "default quick suite (enable with --runslow or RUN_SLOW=1)")
+    config.addinivalue_line(
+        "markers", "tpu: needs a real TPU; skipped on other platforms")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def tiny_corpus(tmp_path_factory):
     """A small synthetic corpus: wavs + JSONL manifest.

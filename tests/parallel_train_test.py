@@ -4,10 +4,12 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from speech_tpu.training import trainer
 
 
+@pytest.mark.slow
 def test_parallel_config_trains(tiny_corpus, tmp_path):
     config = {
         "seed": 2017,

@@ -67,6 +67,7 @@ def viterbi_path_score(model, params, batch, utt, y):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_beam_matches_exhaustive_viterbi(seed):
     model, params, batch = make_case(seed)
     preds, scores = rnnt_beam_search(model, params, batch, beam_size=16,

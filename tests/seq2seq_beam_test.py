@@ -60,6 +60,7 @@ def chain_score(model, params, batch, utt, seq):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_beam_matches_exhaustive(seed):
     model, params, batch = make_case(seed)
     max_len = 4

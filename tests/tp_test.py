@@ -99,6 +99,7 @@ def test_tp_train_step_matches_replicated():
     assert wi.sharding.spec == jax.sharding.PartitionSpec(None, "model")
 
 
+@pytest.mark.slow
 def test_tp_config_trains(tiny_corpus):
     from speech_tpu.training import trainer
 

@@ -97,6 +97,7 @@ def test_resume_continues(trained, tiny_corpus):
     assert state["step"] == 8
 
 
+@pytest.mark.slow
 def test_seq2seq_trains(tiny_corpus, tmp_path):
     config = tiny_config(tiny_corpus, tmp_path, epochs=3)
     config["data"]["start_and_end"] = True

@@ -95,6 +95,7 @@ def test_greedy_decode(model_and_params):
     assert len(preds) == b
 
 
+@pytest.mark.slow
 def test_transducer_trains(tiny_corpus, tmp_path):
     from speech_tpu.training import trainer
     import json, os
