@@ -16,10 +16,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+REPO_ROOT = os.path.abspath(os.path.join(HERE, "..", ".."))
 RESULTS = os.path.join(HERE, "RESULTS.json")
+
+# The eval driver lives at the repo root; with the documented invocation
+# ``python examples/synth/run_all.py`` sys.path[0] is examples/synth, so the
+# root must be added explicitly before ``import eval``.
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+# Config manifest/save paths are repo-root-relative.
+os.chdir(REPO_ROOT)
 
 
 def main():

@@ -91,8 +91,11 @@ def make_parallel_train_step(model, tx, mesh: Mesh, params=None,
     import optax
 
     def loss_fn(params, batch, rng):
+        # Same rng split as the single-device step (training.trainer.
+        # make_train_step): Seq2Seq scheduled sampling draws from "sample".
+        k_drop, k_sample = jax.random.split(rng)
         return model.apply({"params": params}, batch, True, method="loss",
-                           rngs={"dropout": rng})
+                           rngs={"dropout": k_drop, "sample": k_sample})
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)

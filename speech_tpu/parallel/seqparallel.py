@@ -31,7 +31,12 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
+
+
+def _pvary(x, axes):
+    """Mark ``x`` as device-varying over ``axes`` (shard_map carry typing)."""
+    return jax.lax.pcast(x, axes, to="varying")
 
 
 def make_seq_mesh(n_seq: int, devices=None) -> Mesh:
@@ -160,7 +165,7 @@ def gru_seq_sharded(mesh: Mesh, x: jax.Array, wi: jax.Array, bi: jax.Array,
         my_stage = (n - 1 - idx) if reverse else idx
         if valid_len is None:
             # pvary: constants are unvarying; the scan carry is varying.
-            valid = jax.lax.pvary(jnp.ones((local_t, 1, 1), bool), ("seq",))
+            valid = _pvary(jnp.ones((local_t, 1, 1), bool), ("seq",))
         else:
             pos = idx * local_t + jnp.arange(local_t)  # idx is already varying
             valid = (pos < valid_len)[:, None, None]
@@ -181,8 +186,8 @@ def gru_seq_sharded(mesh: Mesh, x: jax.Array, wi: jax.Array, bi: jax.Array,
 
         # pvary: mark the carries as device-varying over 'seq' so the
         # fori_loop carry type matches its (varying) outputs.
-        h0 = jax.lax.pvary(jnp.zeros((b, h_dim), xs.dtype), ("seq",))
-        out0 = jax.lax.pvary(
+        h0 = _pvary(jnp.zeros((b, h_dim), xs.dtype), ("seq",))
+        out0 = _pvary(
             jnp.zeros(x_proj.shape[:2] + (h_dim,), xs.dtype), ("seq",))
         _, out = jax.lax.fori_loop(0, n, stage, (h0, out0))
         return out
@@ -266,7 +271,7 @@ def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
         xp = jnp.einsum("bld,kdj->kblj", xs, wi) + bi[:, None, None, :]
         xp = jnp.stack([xp[0], xp[1][:, ::-1]])  # bwd chunk pre-reversed
         if valid_len is None:
-            valid = jax.lax.pvary(jnp.ones((local_t,), bool), ("seq",))
+            valid = _pvary(jnp.ones((local_t,), bool), ("seq",))
         else:
             pos = idx * local_t + jnp.arange(local_t)
             valid = pos < valid_len
@@ -303,8 +308,8 @@ def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
                            jnp.where(idx == n - 2 - s, h_b, h[1])])
             return (h, out)
 
-        h0 = jax.lax.pvary(jnp.zeros((2, b, h_dim), xs.dtype), ("seq",))
-        out0 = jax.lax.pvary(
+        h0 = _pvary(jnp.zeros((2, b, h_dim), xs.dtype), ("seq",))
+        out0 = _pvary(
             jnp.zeros((2, b, local_t, h_dim), xs.dtype), ("seq",))
         _, out = jax.lax.fori_loop(0, n, stage, (h0, out0))
         # un-reverse the backward direction's chunk-local order

@@ -41,6 +41,59 @@ def test_parallel_config_trains(tiny_corpus, tmp_path):
     assert summary2["epochs_run"] == 1
 
 
+def _spec(input_dim=13, vocab_size=8):
+    class Spec:
+        pass
+
+    Spec.input_dim = input_dim
+    Spec.vocab_size = vocab_size
+    return Spec()
+
+
+@pytest.mark.parametrize("family", ["Seq2Seq", "Transducer"])
+def test_parallel_step_seq2seq_transducer(family):
+    """One data-parallel step per non-CTC family on the 8-device mesh.
+
+    Regression test for the round-2 bug: make_parallel_train_step passed only
+    a "dropout" rng, so any Seq2Seq config with sample_prob > 0 (all of them)
+    crashed with InvalidRngError under parallel.enabled."""
+    import jax
+
+    from speech_tpu.models import build_model
+    from speech_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                     shard_batch)
+    from speech_tpu.training.trainer import init_params, make_optimizer
+
+    cfg = {
+        "class": family,
+        "dropout": 0.1,
+        "encoder": {"conv": [[4, 5, 5, 2]],
+                    "rnn": {"dim": 16, "layers": 1, "bidirectional": True}},
+        "decoder": {"embedding_dim": 16, "sample_prob": 0.4, "layers": 1},
+    }
+    spec = _spec()
+    model = build_model(cfg, spec)
+    tx = make_optimizer({"learning_rate": 0.01, "momentum": 0.9})
+    params = init_params(model, spec.input_dim, jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    mesh = make_mesh(n_data=4, n_model=1)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "inputs": rng.standard_normal((4, 40, spec.input_dim)).astype(np.float32),
+        "input_lengths": np.full((4,), 40, np.int32),
+        # tokens below end/start indices (vocab-2, vocab-1)
+        "labels": rng.integers(0, spec.vocab_size - 2, (4, 6)).astype(np.int32),
+        "label_lengths": np.full((4,), 6, np.int32),
+    }
+    step = make_parallel_train_step(model, tx, mesh, params=params)
+    sharded = shard_batch(batch, mesh)
+    params, opt_state, loss, grad_norm = step(params, opt_state, sharded,
+                                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(grad_norm))
+
+
 def test_parallel_rejects_indivisible_batch(tiny_corpus, tmp_path):
     config = {
         "seed": 1,
