@@ -2,13 +2,20 @@
 
 Prints ONE JSON line:
   {"metric": "train_throughput", "value": N, "unit": "audio_s/s/chip",
-   "vs_baseline": R}
+   "vs_baseline": R, "ms_per_step": ..., "tflops_per_step": ...,
+   "mfu": ..., "hw_peak_tflops": ...}
 
 Metric: seconds of audio processed per wall-clock second per chip while
-running full jitted training steps (forward + CTC loss + backward + SGD
+running full jitted training steps (forward + CTC loss + backward + optimizer
 update) on the LibriSpeech-scale conv+BiGRU CTC model from
 ``__graft_entry__.FLAGSHIP_MODEL_CFG``, in bf16 mixed precision (params and
 loss lattice stay f32). Utterance length ~10 s at a 10 ms feature hop.
+
+MFU accounting: FLOPs/step come from XLA's own cost analysis of the compiled
+step executable (compiled.cost_analysis()["flops"]) — the compiler counts
+what it actually emits, including the Pallas kernels' declared costs.
+``mfu`` = flops / wall_per_step / hw_peak; the peak table carries the bf16
+figure for the detected device kind.
 
 Measurement honesty: on this machine the TPU is reached through a tunnel
 whose ``block_until_ready`` does not synchronize, and deep async queues hit a
@@ -20,11 +27,16 @@ throughput is bounded by the compiled step).
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
 is measured against this framework's first honest recording (see
 BASELINE_AUDIO_S_PER_S) — later rounds must push the ratio up.
+
+Env knobs (defaults match the recorded protocol; only the default
+configuration's number is comparable across rounds):
+  BENCH_BATCH, BENCH_STEPS, BENCH_PROFILE=dir (capture a device trace).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -40,13 +52,22 @@ from speech_tpu.training.trainer import make_optimizer, make_train_step
 # BASELINE.md.
 BASELINE_AUDIO_S_PER_S = 1934.0
 
-BATCH = 64
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 FRAMES = 1000  # 10 s utterances at 10 ms hop
 LABELS = 160
 HOP_S = 0.01
 WARMUP = 3
-STEPS = 30
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
 DTYPE = "bfloat16"
+
+# Dense bf16 peak TFLOP/s per chip by device kind (public spec sheets).
+HW_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
 
 
 def main():
@@ -66,10 +87,26 @@ def main():
     opt_state = jax.device_put(opt_state)
 
     rng_key = jax.random.PRNGKey(1)
+
+    # FLOPs/step from the compiled executable's own cost model. donate_argnums
+    # in the jit makes repeated .lower() awkward, so trace a fresh AOT copy.
+    flops = None
+    try:
+        compiled = step.lower(params, opt_state, batch, rng_key).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     for _ in range(WARMUP):
         params, opt_state, loss, gn = step(params, opt_state, batch, rng_key)
     loss_v = float(loss)  # full sync (block_until_ready is unreliable here)
     assert np.isfinite(loss_v), f"non-finite warmup loss {loss_v}"
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
@@ -79,15 +116,29 @@ def main():
     _ = float(loss)
     dt = time.perf_counter() - t0
 
+    if profile_dir:
+        jax.profiler.stop_trace()
+
     audio_s = BATCH * FRAMES * HOP_S * STEPS
     value = audio_s / dt
     vs = value / BASELINE_AUDIO_S_PER_S if BASELINE_AUDIO_S_PER_S else 1.0
-    print(json.dumps({
+    out = {
         "metric": "train_throughput",
         "value": round(value, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(vs, 3),
-    }))
+        "ms_per_step": round(1e3 * dt / STEPS, 2),
+        "batch": BATCH,
+    }
+    if flops:
+        kind = jax.devices()[0].device_kind
+        peak = HW_PEAK_TFLOPS.get(kind)
+        out["tflops_per_step"] = round(flops / 1e12, 3)
+        out["model_tflop_per_s"] = round(flops * STEPS / dt / 1e12, 2)
+        if peak:
+            out["mfu"] = round(flops * STEPS / dt / (peak * 1e12), 4)
+            out["hw_peak_tflops"] = peak
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -13,7 +13,7 @@ import json
 
 import speech_tpu
 from speech_tpu.data.loader import make_loader
-from speech_tpu.training.trainer import infer_batch
+from speech_tpu.training.trainer import infer_batch, make_infer_step
 from speech_tpu.utils.score import compute_cer
 
 
@@ -23,9 +23,12 @@ def run(model_path: str, dataset_json: str, batch_size: int = 8,
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
     loader = make_loader(dataset_json, preproc, batch_size, drop_last=False)
 
+    # One jitted greedy program per bucket shape, reused across the corpus.
+    infer_step = make_infer_step(model) if beam_size == 0 else None
     all_preds, all_labels = [], []
     for batch in loader:
-        preds = infer_batch(model, params, batch, beam_size=beam_size)
+        preds = infer_batch(model, params, batch, beam_size=beam_size,
+                            infer_step=infer_step)
         for b in range(len(preds)):
             u = int(batch["label_lengths"][b])
             all_labels.append(batch["labels"][b, :u].tolist())

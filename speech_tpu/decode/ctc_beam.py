@@ -15,7 +15,13 @@ with unique beam prefixes the ONLY possible collision is parent-child: an
 extension of beam k by symbol s colliding with an existing beam j where
 prefix_j == prefix_k + [s]; extend/extend and stay/stay collisions would
 require two identical prefixes in the beam. Parent-child pairs are found each
-step with a masked (K, K) prefix comparison.
+step with a masked (K, K) comparison of incrementally-maintained rolling
+hashes (O(K^2) per step, independent of prefix length — the direct
+(K, K, max_len) prefix compare would cost O(K^2 T) per step at LibriSpeech
+scale). Two prefixes of equal length match iff their 64-bit rolling hashes
+collide; with K=8 beams a false collision needs a 2^-64 hash clash against
+the concurrently-alive beam set, which is negligible (and the host oracle
+tests cross-check exact semantics).
 """
 
 from __future__ import annotations
@@ -100,17 +106,28 @@ def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
     k = beam_size
     v = nclass  # symbol axis includes blank; extensions skip it via masking
 
-    # Beam state: prefixes (B,K,max_len), lens (B,K), p_b (B,K), p_nb (B,K)
+    # Beam state: prefixes (B,K,max_len), lens (B,K), rolling hashes
+    # (B,K,2) uint32 (two independent multipliers ~ one 64-bit hash),
+    # p_b (B,K), p_nb (B,K).
     prefixes = jnp.zeros((b, k, max_len), jnp.int32)
     lens = jnp.zeros((b, k), jnp.int32)
+    hashes = jnp.zeros((b, k, 2), jnp.uint32)
     p_b = jnp.full((b, k), _NEG).at[:, 0].set(0.0)
     p_nb = jnp.full((b, k), _NEG)
+
+    # wrapping uint32 arithmetic; odd multipliers are invertible mod 2^32
+    hash_mults = jnp.asarray([1000003, 2654435761], jnp.uint32)  # (2,)
 
     sym_ids = jnp.arange(nclass)
     not_blank = sym_ids != blank  # (V,)
 
+    def child_hash(h, s):
+        """Hash of prefix+``s`` from hash ``h``: h*P + (s+1) per component.
+        h: (..., 2) uint32, s: (...) int32 -> (..., 2)."""
+        return h * hash_mults + (s[..., None].astype(jnp.uint32) + 1)
+
     def step(state, inputs):
-        prefixes, lens, p_b, p_nb = state
+        prefixes, lens, hashes, p_b, p_nb = state
         lp_t, t_idx = inputs  # (B, V), scalar
         tot = jnp.logaddexp(p_b, p_nb)  # (B,K)
 
@@ -139,16 +156,18 @@ def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
         # overflow guard: prefixes at max_len cannot extend
         ext = jnp.where((lens < max_len)[..., None], ext, _NEG)
 
-        # --- exact parent-child merge ---
-        # child[j] == parent[k] + s  <=>  lens_j == lens_k+1, prefixes agree on
-        # the first lens_k symbols, and s == child's last symbol.
+        # --- parent-child merge via rolling hashes ---
+        # child[j] == parent[k] + s  <=>  lens_j == lens_k+1 and
+        # hash_j == child_hash(hash_k, s) with s == child j's last symbol
+        # (hash equality stands in for the prefix compare; see module doc).
         len_match = lens[:, :, None] == lens[:, None, :] + 1  # (B,K_j,K_k)
         pos = jnp.arange(max_len)
-        eq = (prefixes[:, :, None, :] == prefixes[:, None, :, :]) | \
-            (pos[None, None, None, :] >= lens[:, None, :, None])  # parent len mask
-        prefix_match = eq.all(-1)  # (B,K_j,K_k)
+        # hashes of parent k extended by child j's last symbol: (B,K_j,K_k,2)
+        ext_hash = child_hash(hashes[:, None, :, :],
+                              jnp.maximum(last, 0)[:, :, None])
+        hash_match = (hashes[:, :, None, :] == ext_hash).all(-1)
         valid_child = (tot[:, :, None] > _NEG / 2) & (lens[:, :, None] > 0)
-        match = len_match & prefix_match & valid_child & \
+        match = len_match & hash_match & valid_child & \
             (tot[:, None, :] > _NEG / 2)  # (B, K_j, K_k)
 
         # ext[b, k, last_j]: the extension of parent k by child j's last symbol
@@ -192,6 +211,9 @@ def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
         new_prefixes = jnp.where(app_pos & ~is_stay[..., None], ext_sym[..., None],
                                  new_prefixes)
         new_lens = new_lens + (~is_stay).astype(jnp.int32)
+        src_hashes = jnp.take_along_axis(hashes, src_beam[..., None], axis=1)
+        new_hashes = jnp.where(is_stay[..., None], src_hashes,
+                               child_hash(src_hashes, ext_sym))
 
         new_pb = jnp.where(is_stay, take_beam(stay_pb), _NEG)
         ext_scores = jnp.take_along_axis(
@@ -202,13 +224,14 @@ def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
         active = (t_idx < lengths)[:, None]
         prefixes = jnp.where(active[..., None], new_prefixes, prefixes)
         lens = jnp.where(active, new_lens, lens)
+        hashes = jnp.where(active[..., None], new_hashes, hashes)
         p_b = jnp.where(active, new_pb, p_b)
         p_nb = jnp.where(active, new_pnb, p_nb)
-        return (prefixes, lens, p_b, p_nb), None
+        return (prefixes, lens, hashes, p_b, p_nb), None
 
     xs = (jnp.swapaxes(log_probs, 0, 1), jnp.arange(t_max))
-    (prefixes, lens, p_b, p_nb), _ = jax.lax.scan(
-        step, (prefixes, lens, p_b, p_nb), xs)
+    (prefixes, lens, hashes, p_b, p_nb), _ = jax.lax.scan(
+        step, (prefixes, lens, hashes, p_b, p_nb), xs)
 
     tot = jnp.logaddexp(p_b, p_nb)
     best = jnp.argmax(tot, axis=1)

@@ -144,6 +144,11 @@ class Seq2SeqModel(nn.Module):
         (logits (B, U-1, V-1), alignments (B, U-1, T')).
         """
         eh, _, mask = self.encode(inputs, input_lengths, train=train)
+        return self._teacher_forced(eh, mask, labels, train)
+
+    def _teacher_forced(self, eh, mask, labels, train: bool = False):
+        """Teacher-forced decode from a precomputed encoding (shared with
+        eval_outputs so loss + greedy reuse one encoder forward)."""
         b, u = labels.shape
         teacher = jnp.take(self.embedding, labels[:, :-1], axis=0)
 
@@ -205,12 +210,31 @@ class Seq2SeqModel(nn.Module):
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         return nll.sum(axis=1)
 
+    def eval_outputs(self, batch: dict, max_len: int = 200
+                     ) -> tuple[jax.Array, jax.Array]:
+        """(batch-mean loss, greedy tokens) sharing ONE encoder forward — the
+        jitted dev-eval program (the reference's eval path re-encodes for
+        loss and infer separately, reference train.py:51-70)."""
+        eh, _, mask = self.encode(batch["inputs"], batch["input_lengths"],
+                                  train=False)
+        labels = self.end_pad_labels(batch["labels"], batch["label_lengths"])
+        logits, _ = self._teacher_forced(eh, mask, labels, train=False)
+        targets = labels[:, 1:]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        loss = nll.sum() / labels.shape[0]
+        ys = self._greedy_from(eh, mask, max_len)
+        return loss, ys
+
     def greedy(self, batch: dict, max_len: int = 200) -> jax.Array:
         """Batched greedy inference (reference infer/infer_decode,
         seq2seq.py:139-178). Returns (B, max_len+1) token ids starting with
         <s>; positions after each utterance's </s> are filled with </s>."""
         eh, _, mask = self.encode(batch["inputs"], batch["input_lengths"],
                                   train=False)
+        return self._greedy_from(eh, mask, max_len)
+
+    def _greedy_from(self, eh, mask, max_len: int) -> jax.Array:
         b = eh.shape[0]
         y0 = jnp.full((b,), self.start_idx, jnp.int32)
 

@@ -168,6 +168,27 @@ class TransducerModel(nn.Module):
         blank; trim with tokens != blank."""
         x, out_lengths = self.enc(batch["inputs"], batch["input_lengths"],
                                   train=False)
+        return self._greedy_from(x, out_lengths, max_symbols_per_frame,
+                                 max_out)
+
+    def eval_outputs(self, batch: dict, max_symbols_per_frame: int = 3,
+                     max_out: int = 200) -> tuple[jax.Array, jax.Array]:
+        """(batch-mean loss, greedy tokens) sharing ONE encoder forward — the
+        jitted dev-eval program (loss and greedy otherwise each redo the
+        conv+BiGRU encoder)."""
+        x, out_lengths = self.enc(batch["inputs"], batch["input_lengths"],
+                                  train=False)
+        y = self.predict_sequence(batch["labels"], train=False)
+        lattice = self.joint(x, y)
+        loss = rnnt_loss_mean(lattice, out_lengths, batch["labels"],
+                              batch["label_lengths"], blank=self.blank,
+                              impl=self.rnnt_impl)
+        toks = self._greedy_from(x, out_lengths, max_symbols_per_frame,
+                                 max_out)
+        return loss, toks
+
+    def _greedy_from(self, x, out_lengths, max_symbols_per_frame: int = 3,
+                     max_out: int = 200) -> jax.Array:
         b, t, _ = x.shape
         hs, g = self.predict_init(b)
         out_buf = jnp.full((b, max_out), self.blank, jnp.int32)

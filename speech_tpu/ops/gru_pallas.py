@@ -68,63 +68,70 @@ def _recurrent_matmul(h, wh_ref, bh_ref, k_dirs, batch, hidden, dtype):
     return jnp.concatenate(hps, axis=0) if k_dirs > 1 else hps[0]
 
 
-def _fwd_kernel(k_dirs, batch, hidden, x_proj_ref, h0_ref, wh_ref, bh_ref,
+def _fwd_kernel(k_dirs, batch, hidden, tb, x_proj_ref, h0_ref, wh_ref, bh_ref,
                 hs_ref, h_buf):
+    """``tb`` timesteps per grid step: one (tb, N, 3H) DMA feeds ``tb``
+    back-to-back recurrent matmuls, amortizing the per-grid-step overhead
+    that dominates at tb=1 (the matmul itself is ~1-2 us)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         h_buf[:, :] = h0_ref[:, :].astype(jnp.float32)
 
-    h_prev = h_buf[:, :]
-    hp = _recurrent_matmul(h_prev, wh_ref, bh_ref, k_dirs, batch, hidden,
-                           wh_ref.dtype)
-    xp = x_proj_ref[0].astype(jnp.float32)
-    _, _, _, _, h_new = _gates(xp, hp, h_prev, hidden)
-    h_buf[:, :] = h_new
-    hs_ref[0] = h_new.astype(hs_ref.dtype)
+    h = h_buf[:, :]
+    for j in range(tb):
+        hp = _recurrent_matmul(h, wh_ref, bh_ref, k_dirs, batch, hidden,
+                               wh_ref.dtype)
+        xp = x_proj_ref[j].astype(jnp.float32)
+        _, _, _, _, h = _gates(xp, hp, h, hidden)
+        hs_ref[j] = h.astype(hs_ref.dtype)
+    h_buf[:, :] = h
 
 
-def _bwd_kernel(k_dirs, batch, hidden, x_proj_ref, hs_prev_ref, g_ref,
+def _bwd_kernel(k_dirs, batch, hidden, tb, x_proj_ref, hs_prev_ref, g_ref,
                 wh_ref, bh_ref, dxp_ref, r_ref, dh0_ref, dh_buf):
     i = pl.program_id(0)
 
-    @pl.when(i == 0)  # first reverse step == t = T-1
+    @pl.when(i == 0)  # first reverse block holds t = T-1
     def _():
         dh_buf[:, :] = jnp.zeros_like(dh_buf)
 
-    h_prev = hs_prev_ref[0].astype(jnp.float32)
-    hp = _recurrent_matmul(h_prev, wh_ref, bh_ref, k_dirs, batch, hidden,
-                           wh_ref.dtype)
-    xp = x_proj_ref[0].astype(jnp.float32)
-    r, z, n, hn_pre, _ = _gates(xp, hp, h_prev, hidden)
+    dh = dh_buf[:, :]
+    for j in range(tb - 1, -1, -1):
+        h_prev = hs_prev_ref[j].astype(jnp.float32)
+        hp = _recurrent_matmul(h_prev, wh_ref, bh_ref, k_dirs, batch, hidden,
+                               wh_ref.dtype)
+        xp = x_proj_ref[j].astype(jnp.float32)
+        r, z, n, hn_pre, _ = _gates(xp, hp, h_prev, hidden)
 
-    g_tot = g_ref[0].astype(jnp.float32) + dh_buf[:, :]
-    dn = g_tot * (1.0 - z) * (1.0 - n * n)
-    dz = g_tot * (h_prev - n) * z * (1.0 - z)
-    dr = dn * hn_pre * r * (1.0 - r)
+        g_tot = g_ref[j].astype(jnp.float32) + dh
+        dn = g_tot * (1.0 - z) * (1.0 - n * n)
+        dz = g_tot * (h_prev - n) * z * (1.0 - z)
+        dr = dn * hn_pre * r * (1.0 - r)
 
-    dxp_ref[0, :, :hidden] = dr
-    dxp_ref[0, :, hidden:2 * hidden] = dz
-    dxp_ref[0, :, 2 * hidden:] = dn
-    r_ref[0] = r
+        dxp_ref[j, :, :hidden] = dr
+        dxp_ref[j, :, hidden:2 * hidden] = dz
+        dxp_ref[j, :, 2 * hidden:] = dn
+        r_ref[j] = r
 
-    # dh_prev = g*z + dhp @ wh^T, with dhp = [dr, dz, dn*r]
-    dhp_n = dn * r
-    dh_new_parts = []
-    for k in range(k_dirs):
-        sl = slice(k * batch, (k + 1) * batch)
-        dhp_k = jnp.concatenate(
-            [dr[sl], dz[sl], dhp_n[sl]], axis=1).astype(wh_ref.dtype)
-        # contract dhp (B, 3H) with wh (H, 3H) on the 3H axis == dhp @ wh^T
-        dh_k = jax.lax.dot_general(
-            dhp_k, wh_ref[k], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dh_new_parts.append(dh_k)
-    dh_w = (jnp.concatenate(dh_new_parts, axis=0) if k_dirs > 1
-            else dh_new_parts[0])
-    dh_buf[:, :] = g_tot * z + dh_w
-    dh0_ref[:, :] = dh_buf[:, :]  # only the final (t == 0) write survives
+        # dh_prev = g*z + dhp @ wh^T, with dhp = [dr, dz, dn*r]
+        dhp_n = dn * r
+        dh_new_parts = []
+        for k in range(k_dirs):
+            sl = slice(k * batch, (k + 1) * batch)
+            dhp_k = jnp.concatenate(
+                [dr[sl], dz[sl], dhp_n[sl]], axis=1).astype(wh_ref.dtype)
+            # contract dhp (B, 3H) with wh (H, 3H) on 3H == dhp @ wh^T
+            dh_k = jax.lax.dot_general(
+                dhp_k, wh_ref[k], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh_new_parts.append(dh_k)
+        dh_w = (jnp.concatenate(dh_new_parts, axis=0) if k_dirs > 1
+                else dh_new_parts[0])
+        dh = g_tot * z + dh_w
+    dh_buf[:, :] = dh
+    dh0_ref[:, :] = dh  # only the final (t == 0) write survives
 
 
 def _split_dirs(x, k_dirs, batch):
@@ -150,16 +157,34 @@ def gru_seq_pallas(x_proj, h0, wh, bh, k_dirs: int = 1,
     return hs
 
 
+def _pick_tb(t: int, per_step_bytes: int, budget: int) -> int:
+    """Timesteps per grid step, bounded by a VMEM budget for the per-step
+    blocks (Mosaic double-buffers them, so headroom matters)."""
+    tb = max(1, min(8, budget // max(per_step_bytes, 1)))
+    return min(tb, t)
+
+
+def _pad_time(x, t_pad):
+    t = x.shape[0]
+    if t == t_pad:
+        return x
+    return jnp.pad(x, ((0, t_pad - t),) + ((0, 0),) * (x.ndim - 1))
+
+
 def _gru_fwd(x_proj, h0, wh, bh, k_dirs, interpret):
     t, n, three_h = x_proj.shape
     hidden = three_h // 3
     batch = n // k_dirs
-    kern = functools.partial(_fwd_kernel, k_dirs, batch, hidden)
+    itemsize = jnp.dtype(x_proj.dtype).itemsize
+    tb = _pick_tb(t, n * (three_h + hidden) * itemsize, 4 * 1024 * 1024)
+    t_pad = -(-t // tb) * tb
+    nb = t_pad // tb
+    kern = functools.partial(_fwd_kernel, k_dirs, batch, hidden, tb)
     hs = pl.pallas_call(
         kern,
-        grid=(t,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, n, three_h), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, three_h), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -168,12 +193,13 @@ def _gru_fwd(x_proj, h0, wh, bh, k_dirs, interpret):
             pl.BlockSpec((k_dirs, three_h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, hidden), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, n, hidden), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n, hidden), x_proj.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n, hidden), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
         interpret=interpret,
-    )(x_proj, h0, wh, bh)
+    )(_pad_time(x_proj, t_pad), h0, wh, bh)
+    hs = hs[:t]
     return hs, (x_proj, h0, wh, bh, hs)
 
 
@@ -184,34 +210,44 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
     batch = n // k_dirs
     hs_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]], axis=0)
 
-    rev3 = lambda i: (t - 1 - i, 0, 0)
-    kern = functools.partial(_bwd_kernel, k_dirs, batch, hidden)
+    in_size = jnp.dtype(x_proj.dtype).itemsize
+    g_size = jnp.dtype(g.dtype).itemsize
+    per_step = (n * three_h * (in_size + 4)  # x_proj in + dxp out (f32)
+                + n * hidden * (in_size + g_size + 4))  # hs_prev, g, r out
+    tb = _pick_tb(t, per_step, 6 * 1024 * 1024)
+    t_pad = -(-t // tb) * tb
+    nb = t_pad // tb
+
+    rev3 = lambda i: (nb - 1 - i, 0, 0)
+    kern = functools.partial(_bwd_kernel, k_dirs, batch, hidden, tb)
     dxp, r_all, dh0 = pl.pallas_call(
         kern,
-        grid=(t,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, n, three_h), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, hidden), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, hidden), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, three_h), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, hidden), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, hidden), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((k_dirs, hidden, three_h), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_dirs, three_h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, three_h), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, hidden), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, three_h), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, hidden), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((n, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, n, three_h), jnp.float32),
-            jax.ShapeDtypeStruct((t, n, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, n, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, n, hidden), jnp.float32),
             jax.ShapeDtypeStruct((n, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
         interpret=interpret,
-    )(x_proj, hs_prev, g, wh, bh)
+    )(_pad_time(x_proj, t_pad), _pad_time(hs_prev, t_pad),
+      _pad_time(g, t_pad), wh, bh)
+    dxp, r_all = dxp[:t], r_all[:t]
 
     # Weight/bias grads: big MXU matmuls in XLA over the whole (T, N) extent.
     # dhp = [dr, dz, dn * r]; dx_proj = dxp (x_proj enters gates additively).

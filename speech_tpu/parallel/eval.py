@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from speech_tpu.parallel.mesh import batch_sharding, pad_batch_to_multiple
-from speech_tpu.training.trainer import infer_batch
+from speech_tpu.training.trainer import infer_batch, make_infer_step
 from speech_tpu.utils import editdistance
 
 
@@ -51,6 +51,8 @@ def distributed_eval(model, params, loader, preproc, mesh,
         return model.apply({"params": p}, b, method="per_utterance_loss")
 
     featurize = jax.jit(frontend.featurize) if frontend is not None else None
+    infer_step = make_infer_step(model, max_len=max_len) \
+        if beam_size == 0 else None
 
     for batch in loader:
         if featurize is not None and "waveforms" in batch:
@@ -63,7 +65,7 @@ def distributed_eval(model, params, loader, preproc, mesh,
         # bias the corpus mean (loss methods are batch means over padding too).
         losses = np.asarray(per_utt_loss(params, sharded))
         preds = infer_batch(model, params, sharded, max_len=max_len,
-                            beam_size=beam_size)
+                            beam_size=beam_size, infer_step=infer_step)
         loss_sum += float(losses[:true_b].sum())
         n_utts += true_b
         for i in range(true_b):

@@ -53,13 +53,27 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
 
 
 def make_optimizer(opt_cfg: dict) -> optax.GradientTransformation:
+    """Optimizer from the config ``optimizer`` section.
+
+    ``name``: "sgd" (reference default, train.py:95-97) or "adam" —
+    CTC/RNN-T blank-collapse escapes far faster under Adam. Optional
+    ``warmup_steps`` ramps the lr linearly from 0. ``grad_clip`` defaults to
+    the reference's 200 (train.py:32)."""
     lr = opt_cfg["learning_rate"]
     momentum = opt_cfg.get("momentum", 0.0)
     clip = opt_cfg.get("grad_clip", DEFAULT_GRAD_CLIP)
-    return optax.chain(
-        optax.clip_by_global_norm(clip),
-        optax.sgd(lr, momentum=momentum if momentum else None),
-    )
+    warmup = opt_cfg.get("warmup_steps", 0)
+    if warmup:
+        lr = optax.linear_schedule(0.0, lr, warmup)
+    name = opt_cfg.get("name", "sgd")
+    if name == "adam":
+        opt = optax.adam(lr, b1=opt_cfg.get("beta1", 0.9),
+                         b2=opt_cfg.get("beta2", 0.999))
+    elif name == "sgd":
+        opt = optax.sgd(lr, momentum=momentum if momentum else None)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}; have sgd, adam")
+    return optax.chain(optax.clip_by_global_norm(clip), opt)
 
 
 def make_train_step(model, tx, frontend: Optional[Callable] = None) -> Callable:
@@ -102,17 +116,14 @@ def make_eval_step(model, max_len: int = 200,
         @jax.jit
         def step(params, batch):
             batch = fe(batch)
-            loss = model.apply({"params": params}, batch, method="loss")
-            out = model.apply({"params": params}, batch, method="greedy")
-            return loss, out
+            return model.apply({"params": params}, batch,
+                               method="eval_outputs")
     elif isinstance(model, Seq2SeqModel):
         @jax.jit
         def step(params, batch):
             batch = fe(batch)
-            loss = model.apply({"params": params}, batch, method="loss")
-            ys = model.apply({"params": params}, batch, max_len,
-                             method="greedy")
-            return loss, ys
+            return model.apply({"params": params}, batch, max_len,
+                               method="eval_outputs")
     else:  # CTC: loss + log_probs share one encoder forward (eval_outputs)
         @jax.jit
         def step(params, batch):
@@ -204,13 +215,46 @@ def run_epoch(model, params, opt_state, train_step, loader: Loader,
     return params, opt_state, it, avg_loss, {"model_t": model_t, "data_t": data_t}
 
 
-def infer_batch(model, params, batch, max_len: int = 200,
-                beam_size: int = 0) -> list[list[int]]:
-    """Predictions for a batch, dispatched by model family. ``beam_size`` 0
-    means greedy; >0 selects beam search where implemented."""
+def make_infer_step(model, max_len: int = 200,
+                    frontend: Optional[Callable] = None) -> Callable:
+    """Jitted greedy-decode program for batch inference: ONE compiled XLA
+    program per bucket shape, reused across the whole eval corpus (the
+    reference dispatches model.infer eagerly per batch, eval.py:12-18).
+    Returns ``step(params, batch) -> decoded`` for :func:`postprocess_decoded`.
+    """
     from speech_tpu.models.seq2seq import Seq2SeqModel
     from speech_tpu.models.transducer import TransducerModel
 
+    fe = frontend if frontend is not None else (lambda b: b)
+    if isinstance(model, TransducerModel):
+        @jax.jit
+        def step(params, batch):
+            return model.apply({"params": params}, fe(batch), method="greedy")
+    elif isinstance(model, Seq2SeqModel):
+        @jax.jit
+        def step(params, batch):
+            return model.apply({"params": params}, fe(batch), max_len,
+                               method="greedy")
+    else:
+        @jax.jit
+        def step(params, batch):
+            return model.apply({"params": params}, fe(batch),
+                               method="log_probs")
+    return step
+
+
+def infer_batch(model, params, batch, max_len: int = 200,
+                beam_size: int = 0, infer_step: Optional[Callable] = None
+                ) -> list[list[int]]:
+    """Predictions for a batch, dispatched by model family. ``beam_size`` 0
+    means greedy; >0 selects beam search where implemented. Pass a hoisted
+    ``infer_step`` (make_infer_step) so greedy decode runs as one jitted
+    program reused across batches."""
+    from speech_tpu.models.seq2seq import Seq2SeqModel
+    from speech_tpu.models.transducer import TransducerModel
+
+    if beam_size == 0 and infer_step is not None:
+        return postprocess_decoded(model, infer_step(params, batch))
     if isinstance(model, TransducerModel):
         if beam_size > 0:
             from speech_tpu.decode.rnnt_beam import rnnt_beam_search

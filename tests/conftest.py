@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Default: simulated 8-device CPU mesh. SPEECH_TPU_TEST_TPU=1 keeps the real
+# TPU platform so the @pytest.mark.tpu compiled-kernel suite
+# (tests/tpu_compiled_test.py) runs against the chip.
+if not os.environ.get("SPEECH_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import json
 import random
@@ -46,6 +50,11 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+def pytest_runtest_setup(item):
+    if "tpu" in item.keywords and jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU (run with SPEECH_TPU_TEST_TPU=1)")
 
 
 @pytest.fixture(scope="session")

@@ -93,10 +93,5 @@ def test_batch_size_must_divide(tiny_corpus):
         make_loader(tiny_corpus["manifest"], preproc, 5, process_shard=(0, 2))
 
 
-def test_shard_batch_multiprocess_api_exists():
-    """shard_batch dispatches to make_array_from_process_local_data on
-    multi-process runs; single-process falls back to device_put (covered by
-    parallel_test). Here we just pin the API we rely on."""
-    import jax
-
-    assert hasattr(jax, "make_array_from_process_local_data")
+# shard_batch's multi-process branch (make_array_from_process_local_data) is
+# exercised for real by tests/multiprocess_test.py's 2-process workers.
