@@ -18,13 +18,24 @@ from speech_tpu.utils.score import compute_cer
 
 
 def run(model_path: str, dataset_json: str, batch_size: int = 8,
-        tag: str = "best", out_file=None, beam_size: int = 0):
+        tag: str = "best", out_file=None, beam_size: int = 0,
+        n_seq: int = 1):
     bundle = speech_tpu.load(model_path, tag=tag)
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
     loader = make_loader(dataset_json, preproc, batch_size, drop_last=False)
 
     # One jitted greedy program per bucket shape, reused across the corpus.
-    infer_step = make_infer_step(model) if beam_size == 0 else None
+    if n_seq > 1:
+        # Sequence-parallel inference: encoder time axis sharded over n_seq
+        # devices (SURVEY §5.7) — for audio too long for one chip's HBM.
+        from speech_tpu.parallel.seqparallel import (make_seq_infer_step,
+                                                     make_seq_mesh)
+
+        if beam_size != 0:
+            raise NotImplementedError("--n-seq currently decodes greedily")
+        infer_step = make_seq_infer_step(model, make_seq_mesh(n_seq))
+    else:
+        infer_step = make_infer_step(model) if beam_size == 0 else None
     all_preds, all_labels = [], []
     for batch in loader:
         preds = infer_batch(model, params, batch, beam_size=beam_size,
@@ -57,10 +68,13 @@ def main():
     parser.add_argument("--save", help="Write per-utterance predictions (JSONL)")
     parser.add_argument("--beam", type=int, default=0,
                         help="Beam width (0 = greedy decode)")
+    parser.add_argument("--n-seq", type=int, default=1,
+                        help="Shard the encoder time axis over N devices "
+                             "(sequence-parallel inference for long audio)")
     args = parser.parse_args()
     run(args.model, args.dataset, batch_size=args.batch_size,
         tag=None if args.last else "best", out_file=args.save,
-        beam_size=args.beam)
+        beam_size=args.beam, n_seq=args.n_seq)
 
 
 if __name__ == "__main__":

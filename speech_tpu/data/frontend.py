@@ -9,7 +9,8 @@ featurization). Enable with ``data.on_device_features: true`` in the config;
 the loader then emits ``waveforms`` (B, S_pad) float32 instead of ``inputs``.
 
 Numerics match the host pipeline exactly (same PSD scaling, same mel
-triangles, same normalization stats) — tests/frontend_test.py asserts parity.
+triangles, same normalization stats), including zeros at padded frames —
+tests/frontend_test.py asserts parity.
 """
 
 from __future__ import annotations
@@ -47,7 +48,16 @@ class OnDeviceFrontend:
         if "waveforms" not in batch:
             return batch  # already featurized (host path)
         out = {k: v for k, v in batch.items() if k != "waveforms"}
-        out["inputs"] = self.featurize(batch["waveforms"])
+        feats = self.featurize(batch["waveforms"])
+        # Zero padded frames: host-path padding is zeros, while featurizing a
+        # zero-padded waveform yields (log(eps)-mean)/std ~ -9 sigma there.
+        # Keeps the two paths bit-compatible for any future unmasked
+        # time-axis op (ADVICE r2).
+        lens = batch.get("input_lengths")
+        if lens is not None:
+            valid = jnp.arange(feats.shape[1])[None, :] < lens[:, None]
+            feats = jnp.where(valid[:, :, None], feats, 0.0)
+        out["inputs"] = feats
         return out
 
 

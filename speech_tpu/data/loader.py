@@ -82,6 +82,14 @@ def _collate(examples: list[tuple[np.ndarray, list[int]]], time_mult: int,
     u_lens = np.array([len(y) for _, y in examples], dtype=np.int32)
     if t_pad is None:
         t_pad = round_up(int(t_lens.max()), time_mult)
+    elif int(t_lens.max()) > t_pad:
+        # Forced shapes come from manifest-duration estimates (multi-host
+        # lockstep); a coarse duration can under-estimate. Fail loudly rather
+        # than silently truncating audio (ADVICE r2).
+        raise ValueError(
+            f"actual frame count {int(t_lens.max())} exceeds the forced t_pad "
+            f"{t_pad} estimated from manifest durations; increase the "
+            f"manifest's duration precision or the loader headroom")
     if u_pad is None:
         u_pad = round_up(max(int(u_lens.max()), 1), label_mult)
     inputs = np.zeros((b, t_pad, feat_dim), dtype=np.float32)
@@ -209,20 +217,31 @@ class Loader:
         from speech_tpu.utils import wave
 
         data = [self.dataset.data[i] for i in idxs]
+        sr = self._sample_rate()
         auds = []
         for d in data:
-            a, sr = wave.array_from_wave(d["audio"])
+            a, file_sr = wave.array_from_wave(d["audio"])
+            if file_sr != sr:
+                # Mixed rates would silently mis-frame and mis-featurize the
+                # whole batch (the shared frontend assumes one corpus rate) —
+                # mirror the native kernel's rate-mismatch error (ADVICE r2).
+                raise IOError(
+                    f"sample rate {file_sr} of {d['audio']} != corpus rate "
+                    f"{sr}; resample the corpus to one rate for the "
+                    f"raw-waveform path")
             if a.ndim > 1:
                 a = a.mean(axis=-1)
-            auds.append((np.asarray(a, np.float32), sr))
-        sr = auds[0][1]
-        t_lens = np.array([F.num_frames(a.shape[0], sr) for a, _ in auds],
+            auds.append(np.asarray(a, np.float32))
+        t_lens = np.array([F.num_frames(a.shape[0], sr) for a in auds],
                           dtype=np.int32)
         if t_pad is None:
             t_pad = round_up(int(t_lens.max()), self.time_mult)
+        # Forced t_pad is a manifest-duration estimate; truncated waveforms
+        # must not claim more frames than the frontend will produce.
+        t_lens = np.minimum(t_lens, t_pad)
         s_pad = samples_for_frames(t_pad, sr)
         wavs = np.zeros((len(data), s_pad), dtype=np.float32)
-        for i, (a, _) in enumerate(auds):
+        for i, a in enumerate(auds):
             n = min(a.shape[0], s_pad)
             wavs[i, :n] = a[:n]
         labels, u_lens = self._encode_labels(data, u_pad)
@@ -241,6 +260,11 @@ class Loader:
         if not native.available():
             return None
         preproc = self.dataset.preproc
+        if getattr(preproc, "feature_type", "logspec") != "logspec":
+            # The native kernel computes log-spectrograms only; logmel configs
+            # must take the numpy path (matches the guard in
+            # Preprocessor.preprocess; ADVICE r2).
+            return None
         data = [self.dataset.data[i] for i in idxs]
         try:
             if t_pad is None:

@@ -157,8 +157,11 @@ def gru_seq_sharded(mesh: Mesh, x: jax.Array, wi: jax.Array, bi: jax.Array,
     n = mesh.shape["seq"]
     h_dim = wh.shape[0]
     local_t = x.shape[1] // n
+    per_utt = valid_len is not None and not isinstance(valid_len, int)
+    vl_arg = (jnp.asarray(valid_len, jnp.int32) if per_utt
+              else jnp.zeros((x.shape[0],), jnp.int32))  # placeholder
 
-    def local(xs, wi, bi, wh, bh):
+    def local(xs, vl, wi, bi, wh, bh):
         idx = jax.lax.axis_index("seq")
         b = xs.shape[0]
         x_proj = xs @ wi + bi  # big MXU matmul, fully parallel across shards
@@ -166,6 +169,11 @@ def gru_seq_sharded(mesh: Mesh, x: jax.Array, wi: jax.Array, bi: jax.Array,
         if valid_len is None:
             # pvary: constants are unvarying; the scan carry is varying.
             valid = _pvary(jnp.ones((local_t, 1, 1), bool), ("seq",))
+        elif per_utt:
+            # per-utterance lengths (B,): pad steps pass the carry through and
+            # emit zeros, matching the unsharded length-aware GRU exactly
+            pos = idx * local_t + jnp.arange(local_t)
+            valid = (pos[:, None] < vl[None, :])[:, :, None]  # (L, B, 1)
         else:
             pos = idx * local_t + jnp.arange(local_t)  # idx is already varying
             valid = (pos < valid_len)[:, None, None]
@@ -195,25 +203,30 @@ def gru_seq_sharded(mesh: Mesh, x: jax.Array, wi: jax.Array, bi: jax.Array,
     spec_t = P(None, "seq", None)
     rep = P()
     return shard_map(local, mesh=mesh,
-                     in_specs=(spec_t, rep, rep, rep, rep),
-                     out_specs=spec_t)(x, wi, bi, wh, bh)
+                     in_specs=(spec_t, rep, rep, rep, rep, rep),
+                     out_specs=spec_t)(x, vl_arg, wi, bi, wh, bh)
 
 
 def encoder_seq_sharded(mesh: Mesh, params: dict, config,
-                        x: jax.Array) -> jax.Array:
+                        x: jax.Array,
+                        input_lengths: jax.Array | None = None) -> jax.Array:
     """Run the full acoustic encoder (models.encoder.Encoder) with the TIME
     axis sharded over mesh axis ``seq``, reusing the trained flax params.
 
-    x: (B, T, F) features with T divisible by n_seq * prod(conv strides) and
-    spanning the full window (long-audio path; no per-utterance padding).
-    Returns (B, T', H) with T' the padded-to-shards conv output length; rows
-    past the true conv output are zero (see conv_time_sharded).
+    x: (B, T, F) features with T divisible by n_seq * prod(conv strides).
+    ``input_lengths`` (B,) optional true frame counts: when given, the
+    wavefront GRUs mask per utterance (pass-through carry, zero emission at
+    pad steps), matching the unsharded length-aware encoder at every valid
+    frame — this makes the sharded encoder usable on ordinary padded eval
+    batches, not just full-span long audio. Returns (B, T', H) with T' the
+    padded-to-shards conv output length; rows past the true conv output are
+    zero (see conv_time_sharded).
 
     Mirrors Encoder.__call__ (models/encoder.py): VALID convs + ReLU, reshape
     to (B, T', F'*C), rnn_layers bidirectional GRU layers, final directions
     summed (reference model.py:75-77).
     """
-    from speech_tpu.models.encoder import conv_out_size
+    from speech_tpu.models.encoder import conv_out_lengths, conv_out_size
 
     out = x[..., None]  # (B, T, F, 1)
     true_t = x.shape[1]
@@ -226,7 +239,10 @@ def encoder_seq_sharded(mesh: Mesh, params: dict, config,
     out = out.reshape(b, t, f * c)
     # Rows past the true conv output (true_t) are zero padding appended by the
     # sharded conv; the wavefront GRUs skip them exactly (static valid_len).
-    valid_len = None if true_t == t else true_t
+    if input_lengths is not None:
+        valid_len = conv_out_lengths(config.conv, input_lengths)
+    else:
+        valid_len = None if true_t == t else true_t
     for i in range(config.rnn_layers):
         g = params[f"gru_{i}"]
         fwd_w = (g["fwd_wi"], g["fwd_bi"], g["fwd_wh"], g["fwd_bh"])
@@ -263,8 +279,11 @@ def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
     bi = jnp.stack([fwd_w[1], bwd_w[1]])
     wh = jnp.stack([fwd_w[2], bwd_w[2]])
     bh = jnp.stack([fwd_w[3], bwd_w[3]])
+    per_utt = valid_len is not None and not isinstance(valid_len, int)
+    vl_arg = (jnp.asarray(valid_len, jnp.int32) if per_utt
+              else jnp.zeros((x.shape[0],), jnp.int32))  # placeholder
 
-    def local(xs, wi, bi, wh, bh):
+    def local(xs, vl, wi, bi, wh, bh):
         idx = jax.lax.axis_index("seq")
         b = xs.shape[0]
         # (2, B, L, 3H): input projections per direction (one MXU matmul).
@@ -272,11 +291,17 @@ def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
         xp = jnp.stack([xp[0], xp[1][:, ::-1]])  # bwd chunk pre-reversed
         if valid_len is None:
             valid = _pvary(jnp.ones((local_t,), bool), ("seq",))
+            vmask = jnp.stack([valid, valid[::-1]])[:, None, :, None]
+        elif per_utt:
+            # per-utterance lengths (B,) -> (2, B, L, 1); bwd mask reversed
+            # along L to match its pre-reversed chunk
+            pos = idx * local_t + jnp.arange(local_t)
+            valid = pos[None, :] < vl[:, None]  # (B, L)
+            vmask = jnp.stack([valid, valid[:, ::-1]])[:, :, :, None]
         else:
             pos = idx * local_t + jnp.arange(local_t)
             valid = pos < valid_len
-        # (2, 1, L, 1): bwd uses the reversed mask to match its chunk order.
-        vmask = jnp.stack([valid, valid[::-1]])[:, None, :, None]
+            vmask = jnp.stack([valid, valid[::-1]])[:, None, :, None]
 
         def step(h, xs_t):  # h (2, B, H); xs_t: xp (2, B, 3H), v (2, 1, 1)
             xp_t, v = xs_t
@@ -318,5 +343,70 @@ def bigru_seq_sharded(mesh: Mesh, x: jax.Array, fwd_w: Sequence[jax.Array],
     spec_t = P(None, "seq", None)
     rep = P()
     return shard_map(local, mesh=mesh,
-                     in_specs=(spec_t, rep, rep, rep, rep),
-                     out_specs=spec_t)(x, wi, bi, wh, bh)
+                     in_specs=(spec_t, rep, rep, rep, rep, rep),
+                     out_specs=spec_t)(x, vl_arg, wi, bi, wh, bh)
+
+
+# ---------------------------------------------------------------------------
+# Config-drivable inference over a seq mesh (eval.py --n-seq / parallel.n_seq)
+# ---------------------------------------------------------------------------
+
+
+def seq_padded_time(t: int, n_seq: int, conv: Sequence[Sequence[int]]) -> int:
+    """Smallest T' >= t satisfying the sharded encoder's constraints: each
+    conv layer's (per-layer) input time divisible by n_seq * stride and halo
+    frames < the local chunk."""
+    stride_prod = 1
+    for _, kh, _, s in conv:
+        stride_prod *= s
+    mult = n_seq * stride_prod
+    tp = ((t + mult - 1) // mult) * mult
+    while True:
+        ok, cur = True, tp
+        for _, kh, _, s in conv:
+            if cur % (n_seq * s) or (kh - s) >= cur // n_seq:
+                ok = False
+                break
+            cur = cur // s  # global rows after this layer (ceil-tiled)
+        if ok:
+            return tp
+        tp += mult
+
+
+def make_seq_infer_step(model, mesh: Mesh):
+    """Jitted log-probs over a time-sharded mesh for a CTC model — the
+    config-drivable sequence-parallel inference path (SURVEY §5.7; reachable
+    from ``eval.py --n-seq N`` / config ``parallel.n_seq``).
+
+    Returns ``step(params, batch) -> (log_probs (B, T'', V+1), lengths)``
+    matching ``CTCModel.log_probs`` at every valid frame; inputs are zero-
+    padded on the time axis to the sharding-compatible length (padding is
+    masked per utterance inside the wavefront).
+    """
+    from speech_tpu.models.ctc_model import CTCModel
+    from speech_tpu.models.encoder import conv_out_lengths
+
+    if not isinstance(model, CTCModel):
+        raise NotImplementedError(
+            "sequence-parallel inference is implemented for CTC models; "
+            "seq2seq/transducer decoders are sequential over labels and use "
+            "the unsharded path")
+    cfg = model.encoder
+    n_seq = mesh.shape["seq"]
+
+    @jax.jit
+    def step(params, batch):
+        x = batch["inputs"]
+        lens = batch["input_lengths"]
+        t_pad = seq_padded_time(x.shape[1], n_seq, cfg.conv)
+        if t_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+        eh = encoder_seq_sharded(mesh, params["enc"], cfg, x,
+                                 input_lengths=lens)
+        fc = params["fc"]
+        logits = eh.astype(jnp.float32) @ fc["kernel"].astype(jnp.float32) \
+            + fc["bias"].astype(jnp.float32)
+        out_lens = conv_out_lengths(cfg.conv, lens)
+        return jax.nn.log_softmax(logits, axis=-1), out_lens
+
+    return step

@@ -130,3 +130,86 @@ def test_gru_seq_sharded_grads_flow(mesh):
     d0 = jnp.zeros_like(wi).at[0, 0].set(1.0)
     fd = (loss(wi + eps * d0) - loss(wi - eps * d0)) / (2 * eps)
     np.testing.assert_allclose(float(g[0, 0]), float(fd), rtol=1e-2, atol=1e-3)
+
+
+def test_bigru_seq_sharded_per_utterance_lengths(mesh):
+    """Per-utterance masking: the wavefront matches the unsharded
+    length-aware layer at every VALID frame when utterances are shorter than
+    the padded window (the ordinary eval-batch case)."""
+    rng = np.random.default_rng(7)
+    b, t, d, h = 3, 32, 5, 7
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lens = jnp.asarray([32, 21, 9], jnp.int32)
+    # zero the padding like a loader batch
+    x = jnp.where(jnp.arange(t)[None, :, None] < lens[:, None, None], x, 0)
+    fwd_w = _gru_weights(rng, d, h)
+    bwd_w = _gru_weights(rng, d, h)
+    ref = rnn_ops.gru_sequence_bidir(
+        x, lens, *[jnp.stack([f, bb]) for f, bb in zip(fwd_w, bwd_w)])
+    out = sp.bigru_seq_sharded(mesh, x, fwd_w, bwd_w, valid_len=lens)
+    for i in range(b):
+        n = int(lens[i])
+        np.testing.assert_allclose(np.asarray(out[i, :n]),
+                                   np.asarray(ref[i, :n]),
+                                   rtol=2e-5, atol=2e-5)
+        assert np.all(np.asarray(out[i, n:]) == 0)
+
+
+def test_gru_seq_sharded_per_utterance_lengths(mesh):
+    rng = np.random.default_rng(8)
+    b, t, d, h = 2, 24, 4, 6
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lens = jnp.asarray([17, 24], jnp.int32)
+    x = jnp.where(jnp.arange(t)[None, :, None] < lens[:, None, None], x, 0)
+    wi, bi, wh, bh = _gru_weights(rng, d, h)
+    ref = rnn_ops.gru_sequence(x, jnp.zeros((b, h)), wi, bi, wh, bh)
+    out = sp.gru_seq_sharded(mesh, x, wi, bi, wh, bh, valid_len=lens)
+    for i in range(b):
+        n = int(lens[i])
+        np.testing.assert_allclose(np.asarray(out[i, :n]),
+                                   np.asarray(ref[i, :n]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_make_seq_infer_step_matches_log_probs(mesh):
+    """The config-drivable SP inference path (eval.py --n-seq) reproduces
+    CTCModel.log_probs on an ordinary padded batch with varying lengths,
+    including time padding to the sharding-compatible length."""
+    from speech_tpu.models import build_model
+
+    class _Pre:
+        input_dim = 20
+        vocab_size = 6
+
+    cfg = {
+        "class": "CTC",
+        "encoder": {
+            "conv": [[3, 5, 9, 2]],
+            "rnn": {"dim": 8, "layers": 2, "bidirectional": True},
+        },
+    }
+    model = build_model(cfg, _Pre())
+    rng = np.random.default_rng(9)
+    t = 50  # NOT divisible by n_seq * stride: exercises seq_padded_time
+    batch = {
+        "inputs": jnp.asarray(rng.standard_normal((3, t, 20)), jnp.float32),
+        "input_lengths": jnp.asarray([50, 33, 12], jnp.int32),
+        "labels": jnp.zeros((3, 4), jnp.int32),
+        "label_lengths": jnp.full((3,), 4, jnp.int32),
+    }
+    lens = np.asarray(batch["input_lengths"])
+    batch["inputs"] = jnp.where(
+        jnp.arange(t)[None, :, None] < batch["input_lengths"][:, None, None],
+        batch["inputs"], 0)
+    params = model.init(jax.random.PRNGKey(0), batch["inputs"],
+                        batch["input_lengths"])["params"]
+    ref_lp, ref_lens = model.apply({"params": params}, batch,
+                                   method="log_probs")
+    step = sp.make_seq_infer_step(model, mesh)
+    lp, out_lens = step({"enc": params["enc"], "fc": params["fc"]}, batch)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    for i in range(3):
+        n = int(out_lens[i])
+        np.testing.assert_allclose(np.asarray(lp[i, :n]),
+                                   np.asarray(ref_lp[i, :n]),
+                                   rtol=2e-5, atol=2e-5)
