@@ -30,7 +30,10 @@ BASELINE_AUDIO_S_PER_S) — later rounds must push the ratio up.
 
 Env knobs (defaults match the recorded protocol; only the default
 configuration's number is comparable across rounds):
-  BENCH_BATCH, BENCH_STEPS, BENCH_PROFILE=dir (capture a device trace).
+  BENCH_BATCH, BENCH_STEPS, BENCH_PROFILE=dir (capture a device trace),
+  BENCH_FRONTEND=1 (feed RAW WAVEFORMS and featurize on-device inside the
+  jitted step — the north-star fused-frontend path; the metric then includes
+  STFT+log+normalize work that the default run does on the host).
 """
 
 from __future__ import annotations
@@ -80,7 +83,22 @@ def main():
     params = model.init(jax.random.PRNGKey(0), batch["inputs"][:1],
                         batch["input_lengths"][:1])["params"]
     opt_state = tx.init(params)
-    step = make_train_step(model, tx)
+
+    frontend = None
+    if os.environ.get("BENCH_FRONTEND"):
+        from speech_tpu.data.frontend import OnDeviceFrontend, samples_for_frames
+
+        class _Pre:  # featurizer stats for the synthetic corpus
+            feature_type = "logspec"
+            n_mels = 0
+            mean = np.zeros((_Spec.input_dim,), np.float32)
+            std = np.ones((_Spec.input_dim,), np.float32)
+
+        frontend = OnDeviceFrontend(_Pre(), 16000)
+        s_pad = samples_for_frames(FRAMES, 16000)
+        batch = {k: v for k, v in batch.items() if k != "inputs"}
+        batch["waveforms"] = rng.standard_normal((BATCH, s_pad)).astype(np.float32)
+    step = make_train_step(model, tx, frontend=frontend)
 
     batch = jax.device_put(batch)
     params = jax.device_put(params)
@@ -130,6 +148,8 @@ def main():
         "ms_per_step": round(1e3 * dt / STEPS, 2),
         "batch": BATCH,
     }
+    if frontend is not None:
+        out["variant"] = "on_device_frontend"
     if flops:
         kind = jax.devices()[0].device_kind
         peak = HW_PEAK_TFLOPS.get(kind)

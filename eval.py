@@ -22,7 +22,8 @@ def run(model_path: str, dataset_json: str, batch_size: int = 8,
         n_seq: int = 1):
     bundle = speech_tpu.load(model_path, tag=tag)
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
-    loader = make_loader(dataset_json, preproc, batch_size, drop_last=False)
+    loader = make_loader(dataset_json, preproc, batch_size, drop_last=False,
+                         pad_last=True)
 
     # One jitted greedy program per bucket shape, reused across the corpus.
     if n_seq > 1:
@@ -38,8 +39,10 @@ def run(model_path: str, dataset_json: str, batch_size: int = 8,
         infer_step = make_infer_step(model) if beam_size == 0 else None
     all_preds, all_labels = [], []
     for batch in loader:
+        n_valid = batch.pop("_n_valid", len(batch["input_lengths"]))
         preds = infer_batch(model, params, batch, beam_size=beam_size,
                             infer_step=infer_step)
+        preds = preds[:n_valid]
         for b in range(len(preds)):
             u = int(batch["label_lengths"][b])
             all_labels.append(batch["labels"][b, :u].tolist())

@@ -123,11 +123,12 @@ class Loader:
                  label_mult: int = 8, seed: int = 0, drop_last: bool = True,
                  prefetch: int = 4, native: bool = True,
                  process_shard: tuple[int, int] = (0, 1),
-                 raw_audio: bool = False):
+                 raw_audio: bool = False, pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.native = native
         self.raw_audio = raw_audio
+        self.pad_last = pad_last
         self.num_workers = max(1, num_workers)
         self.time_mult = time_mult
         self.label_mult = label_mult
@@ -180,18 +181,29 @@ class Loader:
 
     def _make_batch(self, idxs: list[int]) -> dict[str, np.ndarray]:
         t_pad = u_pad = None
+        n_valid = len(idxs)
+        if self.pad_last and n_valid < self.batch_size:
+            # Repeat rows to the full batch size so XLA sees ONE compiled
+            # shape per bucket instead of one extra program for the ragged
+            # final batch (each compile costs minutes on a remote TPU).
+            # Consumers slice by ``_n_valid``; eval losses are per-utterance.
+            idxs = list(idxs) + [idxs[-1]] * (self.batch_size - n_valid)
         if self.process_count > 1:
             t_pad, u_pad = self._global_pad_shapes(idxs)
             k = len(idxs) // self.process_count
             idxs = idxs[self.process_index * k:(self.process_index + 1) * k]
         if self.raw_audio:
-            return self._make_batch_raw(idxs, t_pad, u_pad)
-        if self.native:
-            batch = self._make_batch_native(idxs, t_pad, u_pad)
-            if batch is not None:
-                return batch
-        examples = [self.dataset[i] for i in idxs]
-        return _collate(examples, self.time_mult, self.label_mult, t_pad, u_pad)
+            batch = self._make_batch_raw(idxs, t_pad, u_pad)
+        else:
+            batch = self._make_batch_native(idxs, t_pad, u_pad) \
+                if self.native else None
+            if batch is None:
+                examples = [self.dataset[i] for i in idxs]
+                batch = _collate(examples, self.time_mult, self.label_mult,
+                                 t_pad, u_pad)
+        if self.pad_last:
+            batch["_n_valid"] = n_valid
+        return batch
 
     def _encode_labels(self, data: list[dict], u_pad: Optional[int]
                        ) -> tuple[np.ndarray, np.ndarray]:
@@ -313,15 +325,17 @@ def make_loader(dataset_json: str, preproc: Preprocessor, batch_size: int,
                 seed: int = 0, drop_last: bool = True,
                 dataset: Optional[AudioDataset] = None,
                 process_shard: tuple[int, int] = (0, 1),
-                raw_audio: bool = False) -> Loader:
+                raw_audio: bool = False, pad_last: bool = False) -> Loader:
     """Build a Loader over a manifest (reference make_loader, loader.py:139-150).
 
     ``process_shard=(process_index, process_count)`` enables per-host input
     sharding for multi-host DP: each host featurizes only its slice of every
-    global batch (see Loader docstring)."""
+    global batch (see Loader docstring). ``pad_last`` repeats rows of a ragged
+    final batch up to ``batch_size`` (attaching ``_n_valid``) so eval pays one
+    compile per bucket shape."""
     if dataset is None:
         dataset = AudioDataset(dataset_json, preproc, batch_size)
     return Loader(dataset, batch_size, num_workers=num_workers,
                   time_mult=time_mult, label_mult=label_mult, seed=seed,
                   drop_last=drop_last, process_shard=process_shard,
-                  raw_audio=raw_audio)
+                  raw_audio=raw_audio, pad_last=pad_last)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from speech_tpu.models import encoder as enc
-from speech_tpu.ops.ctc import ctc_loss, ctc_loss_mean  # noqa: F401 (ctc_loss re-exported)
+from speech_tpu.ops.ctc import ctc_loss, ctc_loss_auto, ctc_loss_mean  # noqa: F401 (ctc_loss re-exported)
 
 
 class CTCModel(nn.Module):
@@ -75,16 +75,17 @@ class CTCModel(nn.Module):
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), out_lengths
 
     def eval_outputs(self, batch: dict) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Loss AND decode inputs from ONE encoder forward (dev eval runs
-        both every batch; the reference recomputes the forward per use,
-        reference train.py:57-58)."""
+        """PER-UTTERANCE losses AND decode inputs from ONE encoder forward
+        (dev eval runs both every batch; the reference recomputes the forward
+        per use, reference train.py:57-58). Per-utterance losses let ragged
+        final batches be padded to one compiled shape and sliced exactly."""
         logits, out_lengths = self(batch["inputs"], batch["input_lengths"],
                                    train=False)
-        loss = ctc_loss_mean(logits, out_lengths, batch["labels"],
-                             batch["label_lengths"], blank=self.blank,
-                             impl=self.ctc_impl)
+        losses = ctc_loss_auto(logits, out_lengths, batch["labels"],
+                               batch["label_lengths"], blank=self.blank,
+                               impl=self.ctc_impl)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return loss, lp, out_lengths
+        return losses, lp, out_lengths
 
     def conv_out_size(self, n: int, dim: int = 0) -> int:
         return enc.conv_out_size(self.encoder.conv, n, dim)

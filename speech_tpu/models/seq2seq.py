@@ -212,9 +212,11 @@ class Seq2SeqModel(nn.Module):
 
     def eval_outputs(self, batch: dict, max_len: int = 200
                      ) -> tuple[jax.Array, jax.Array]:
-        """(batch-mean loss, greedy tokens) sharing ONE encoder forward — the
-        jitted dev-eval program (the reference's eval path re-encodes for
-        loss and infer separately, reference train.py:51-70)."""
+        """(PER-UTTERANCE losses (B,), greedy tokens) sharing ONE encoder
+        forward — the jitted dev-eval program (the reference's eval path
+        re-encodes for loss and infer separately, reference train.py:51-70).
+        Per-utterance losses let ragged final batches be padded to one
+        compiled shape and sliced exactly."""
         eh, _, mask = self.encode(batch["inputs"], batch["input_lengths"],
                                   train=False)
         labels = self.end_pad_labels(batch["labels"], batch["label_lengths"])
@@ -222,9 +224,8 @@ class Seq2SeqModel(nn.Module):
         targets = labels[:, 1:]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        loss = nll.sum() / labels.shape[0]
         ys = self._greedy_from(eh, mask, max_len)
-        return loss, ys
+        return nll.sum(axis=1), ys
 
     def greedy(self, batch: dict, max_len: int = 200) -> jax.Array:
         """Batched greedy inference (reference infer/infer_decode,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from speech_tpu.models import encoder as enc
 from speech_tpu.ops import rnn as rnn_ops
-from speech_tpu.ops.rnnt import rnnt_loss, rnnt_loss_mean
+from speech_tpu.ops.rnnt import rnnt_loss, rnnt_loss_auto, rnnt_loss_mean
 
 
 class TransducerModel(nn.Module):
@@ -173,19 +173,20 @@ class TransducerModel(nn.Module):
 
     def eval_outputs(self, batch: dict, max_symbols_per_frame: int = 3,
                      max_out: int = 200) -> tuple[jax.Array, jax.Array]:
-        """(batch-mean loss, greedy tokens) sharing ONE encoder forward — the
-        jitted dev-eval program (loss and greedy otherwise each redo the
-        conv+BiGRU encoder)."""
+        """(PER-UTTERANCE losses (B,), greedy tokens) sharing ONE encoder
+        forward — the jitted dev-eval program (loss and greedy otherwise each
+        redo the conv+BiGRU encoder). Per-utterance losses let ragged final
+        batches be padded to one compiled shape and sliced exactly."""
         x, out_lengths = self.enc(batch["inputs"], batch["input_lengths"],
                                   train=False)
         y = self.predict_sequence(batch["labels"], train=False)
         lattice = self.joint(x, y)
-        loss = rnnt_loss_mean(lattice, out_lengths, batch["labels"],
-                              batch["label_lengths"], blank=self.blank,
-                              impl=self.rnnt_impl)
+        losses = rnnt_loss_auto(lattice, out_lengths, batch["labels"],
+                                batch["label_lengths"], blank=self.blank,
+                                impl=self.rnnt_impl)
         toks = self._greedy_from(x, out_lengths, max_symbols_per_frame,
                                  max_out)
-        return loss, toks
+        return losses, toks
 
     def _greedy_from(self, x, out_lengths, max_symbols_per_frame: int = 3,
                      max_out: int = 200) -> jax.Array:

@@ -55,10 +55,11 @@ def distributed_eval(model, params, loader, preproc, mesh,
         if beam_size == 0 else None
 
     for batch in loader:
+        n_valid = batch.pop("_n_valid", None)  # pad_last loaders
         if featurize is not None and "waveforms" in batch:
             batch = dict(batch)
             batch["inputs"] = np.asarray(featurize(batch.pop("waveforms")))
-        true_b = batch["inputs"].shape[0]
+        true_b = batch["inputs"].shape[0] if n_valid is None else n_valid
         batch = pad_batch_to_multiple(batch, n_data)
         sharded = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         # Per-UTTERANCE losses so padded rows and ragged final batches cannot

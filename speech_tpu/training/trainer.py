@@ -57,13 +57,21 @@ def make_optimizer(opt_cfg: dict) -> optax.GradientTransformation:
 
     ``name``: "sgd" (reference default, train.py:95-97) or "adam" —
     CTC/RNN-T blank-collapse escapes far faster under Adam. Optional
-    ``warmup_steps`` ramps the lr linearly from 0. ``grad_clip`` defaults to
-    the reference's 200 (train.py:32)."""
+    ``warmup_steps`` ramps the lr linearly from 0, and ``decay_steps`` adds a
+    cosine decay to ``learning_rate * min_lr_ratio`` (default 0.01) after the
+    warmup — Adam at a flat lr can blow up mid-run on attention decoders.
+    ``grad_clip`` defaults to the reference's 200 (train.py:32)."""
     lr = opt_cfg["learning_rate"]
     momentum = opt_cfg.get("momentum", 0.0)
     clip = opt_cfg.get("grad_clip", DEFAULT_GRAD_CLIP)
     warmup = opt_cfg.get("warmup_steps", 0)
-    if warmup:
+    decay = opt_cfg.get("decay_steps", 0)
+    if decay:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else lr, peak_value=lr,
+            warmup_steps=warmup, decay_steps=decay,
+            end_value=lr * opt_cfg.get("min_lr_ratio", 0.01))
+    elif warmup:
         lr = optax.linear_schedule(0.0, lr, warmup)
     name = opt_cfg.get("name", "sgd")
     if name == "adam":
@@ -103,11 +111,12 @@ def make_train_step(model, tx, frontend: Optional[Callable] = None) -> Callable:
 
 def make_eval_step(model, max_len: int = 200,
                    frontend: Optional[Callable] = None) -> Callable:
-    """Jitted dev-eval step per model family: batch-mean loss plus the
-    greedy-decode tensors, one compiled program per bucket shape (the
+    """Jitted dev-eval step per model family: PER-UTTERANCE losses (B,) plus
+    the greedy-decode tensors, one compiled program per bucket shape (the
     reference's dev eval is an eager forward per use, train.py:51-70).
-    Returns ``step(params, batch) -> (loss, decoded)`` where ``decoded``
-    feeds :func:`postprocess_decoded`."""
+    Returns ``step(params, batch) -> (losses, decoded)`` where ``decoded``
+    feeds :func:`postprocess_decoded`; with a pad_last loader, slice both by
+    the batch's ``_n_valid``."""
     from speech_tpu.models.seq2seq import Seq2SeqModel
     from speech_tpu.models.transducer import TransducerModel
 
@@ -297,10 +306,11 @@ def eval_dev(model, params, loader: Loader, preproc: Preprocessor,
     loss_sum, n_utts = 0.0, 0
     results = []
     for batch in loader:
-        loss, decoded = eval_step(params, batch)
+        n_valid = batch.pop("_n_valid", None)  # pad_last loaders (one shape)
+        losses, decoded = eval_step(params, batch)
         preds = postprocess_decoded(model, decoded)
-        b = len(preds)
-        loss_sum += float(loss) * b  # model losses are batch means
+        b = len(preds) if n_valid is None else n_valid
+        loss_sum += float(np.asarray(losses)[:b].sum())  # per-utterance
         n_utts += b
         for i in range(b):
             u = int(batch["label_lengths"][i])
@@ -357,7 +367,7 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
     train_ldr = make_loader(data_cfg["train_set"], preproc, batch_size,
                             process_shard=proc_shard, **loader_kwargs)
     dev_ldr = make_loader(data_cfg["dev_set"], preproc, batch_size,
-                          drop_last=False, **loader_kwargs)
+                          drop_last=False, pad_last=True, **loader_kwargs)
 
     model = build_model(config["model"], preproc)
     tx = make_optimizer(opt_cfg)

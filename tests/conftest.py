@@ -22,6 +22,15 @@ import jax
 if not os.environ.get("SPEECH_TPU_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-dominated on CPU, and the
+# programs are identical across runs — cache them once ever.
+_cache_dir = os.environ.get(
+    "SPEECH_TPU_TEST_CACHE",
+    os.path.expanduser("~/.cache/speech_tpu/test_xla_cache"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import json
 import random
 
@@ -43,12 +52,45 @@ def pytest_configure(config):
         "markers", "tpu: needs a real TPU; skipped on other platforms")
 
 
+# Heavy tests (>10 s each on this 2-CPU box, measured with --durations) are
+# auto-marked slow here — one maintenance point instead of decorators spread
+# over 20 files. Every subsystem keeps at least one fast test in the quick
+# suite; the full sweep runs with --runslow / RUN_SLOW=1.
+_HEAVY_TESTS = {
+    "test_dryrun_multichip_contract",
+    "test_pallas_grad_matches_pure",
+    "test_pallas_weighted_cotangent",
+    "test_bf16_loss_close_to_f32",
+    "test_bf16_gradients_finite_and_f32",
+    "test_beam_improves_on_greedy_score",
+    "test_tp_train_step_matches_replicated",
+    "test_distributed_eval_matches_serial",
+    "test_loss_and_grads",
+    "test_parallel_step_seq2seq_transducer",
+    "test_parallel_step_matches_single_device",
+    "test_parallel_multiple_steps_converge",
+    "test_ctc_loss_runs_and_is_finite",
+    "test_ctc_bidirectional_and_dropout",
+    "test_rnnt_grad_finite_difference",
+    "test_beam1_matches_greedy",
+    "test_encoder_seq_sharded_matches_unsharded",
+    "test_bigru_seq_sharded_per_utterance_lengths",
+    "test_make_seq_infer_step_matches_log_probs",
+    "test_bigru_seq_sharded_matches_encoder_layer",
+    "test_full_vjp_matches_scan",
+    "test_streaming_transducer_matches_offline_greedy",
+    "test_streaming_encoder_matches_offline",
+    "test_padding_does_not_affect_valid_outputs",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
         return
     skip = pytest.mark.skip(reason="slow test: pass --runslow (or RUN_SLOW=1)")
     for item in items:
-        if "slow" in item.keywords:
+        name = getattr(item, "originalname", None) or item.name
+        if "slow" in item.keywords or name in _HEAVY_TESTS:
             item.add_marker(skip)
 
 
