@@ -97,3 +97,21 @@ def test_loader_epoch_shuffle_deterministic(tiny_corpus):
     # next epoch differs in order but same multiset
     b1e2 = [b["input_lengths"].tolist() for b in l1]
     assert sorted(map(tuple, b1e2)) == sorted(map(tuple, b1))
+
+
+def test_loader_pad_last_one_shape(tiny_corpus):
+    """pad_last: the ragged final batch is padded to batch_size by repeating
+    rows and tagged with _n_valid, so eval compiles ONE program per bucket."""
+    preproc = Preprocessor(tiny_corpus["manifest"])
+    loader = make_loader(tiny_corpus["manifest"], preproc, batch_size=4,
+                         drop_last=False, pad_last=True, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 2  # 6 utts -> 4 + ragged 2 padded to 4
+    for batch in batches:
+        assert batch["inputs"].shape[0] == 4
+    tail = batches[-1]
+    assert tail["_n_valid"] == 2
+    # padded rows replicate the last valid example
+    np.testing.assert_array_equal(tail["inputs"][1], tail["inputs"][2])
+    np.testing.assert_array_equal(tail["labels"][1], tail["labels"][3])
+    assert batches[0].get("_n_valid", 4) == 4
