@@ -19,11 +19,34 @@ from speech_tpu.utils.score import compute_cer
 
 def run(model_path: str, dataset_json: str, batch_size: int = 8,
         tag: str = "best", out_file=None, beam_size: int = 0,
-        n_seq: int = 1):
+        n_seq: int = 1, lm_path: str = None):
     bundle = speech_tpu.load(model_path, tag=tag)
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
     loader = make_loader(dataset_json, preproc, batch_size, drop_last=False,
                          pad_last=True)
+
+    lm_logp = None
+    if lm_path is not None:
+        # Dense bigram LM table for the CTC prefix beam, shape (V+2, V+1):
+        # lm_logp[last+1, s] (row 0 = empty prefix). .npy, or .npz under key
+        # "lm_logp". See decode.ctc_beam.ctc_beam_decode.
+        import numpy as np
+        loaded = np.load(lm_path)
+        lm_logp = loaded["lm_logp"] if hasattr(loaded, "files") else loaded
+        if beam_size == 0:
+            raise ValueError("--lm requires a beam (--beam N); the greedy "
+                             "decoder has no LM extension point")
+
+    # Config key ``parallel.n_seq`` (saved with the checkpoint) selects
+    # sequence-parallel inference when the CLI flag is left at its default.
+    if n_seq == 1:
+        n_seq = int(bundle.config.get("parallel", {}).get("n_seq", 1))
+
+    # Greedy/beam decode budget: the training run wrote ``model.
+    # max_decode_len`` into the checkpointed config (trainer.run) — defaulted
+    # from the train manifest's max label length so long transcripts decode
+    # untruncated.
+    max_len = int(bundle.config.get("model", {}).get("max_decode_len", 200))
 
     # One jitted greedy program per bucket shape, reused across the corpus.
     if n_seq > 1:
@@ -36,12 +59,14 @@ def run(model_path: str, dataset_json: str, batch_size: int = 8,
             raise NotImplementedError("--n-seq currently decodes greedily")
         infer_step = make_seq_infer_step(model, make_seq_mesh(n_seq))
     else:
-        infer_step = make_infer_step(model) if beam_size == 0 else None
+        infer_step = (make_infer_step(model, max_len=max_len)
+                      if beam_size == 0 else None)
     all_preds, all_labels = [], []
     for batch in loader:
         n_valid = batch.pop("_n_valid", len(batch["input_lengths"]))
-        preds = infer_batch(model, params, batch, beam_size=beam_size,
-                            infer_step=infer_step)
+        preds = infer_batch(model, params, batch, max_len=max_len,
+                            beam_size=beam_size, infer_step=infer_step,
+                            lm_logp=lm_logp)
         preds = preds[:n_valid]
         for b in range(len(preds)):
             u = int(batch["label_lengths"][b])
@@ -74,10 +99,13 @@ def main():
     parser.add_argument("--n-seq", type=int, default=1,
                         help="Shard the encoder time axis over N devices "
                              "(sequence-parallel inference for long audio)")
+    parser.add_argument("--lm", help="Dense bigram LM table (.npy / .npz "
+                        "key 'lm_logp', shape (V+2, V+1)) folded into the "
+                        "CTC prefix-beam extension scores")
     args = parser.parse_args()
     run(args.model, args.dataset, batch_size=args.batch_size,
         tag=None if args.last else "best", out_file=args.save,
-        beam_size=args.beam, n_seq=args.n_seq)
+        beam_size=args.beam, n_seq=args.n_seq, lm_path=args.lm)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,17 @@ class Loader:
             raise ValueError(
                 f"global batch_size {batch_size} not divisible by "
                 f"process_count {self.process_count}")
+        if self.pad_last and self.process_count > 1:
+            # pad_last attaches a GLOBAL _n_valid while each host holds a
+            # local row-slice (all duplicate rows land on the last host), so
+            # consumers that treat _n_valid as a local count would mis-slice.
+            # No caller combines these today (dev/eval loaders are unsharded);
+            # refuse rather than let the API mislead (ADVICE r3).
+            raise ValueError(
+                "pad_last is incompatible with process-sharded loading: "
+                "_n_valid would be a global count against local row slices; "
+                "use an unsharded eval loader (parallel.eval shards work, "
+                "not rows)")
         n = len(dataset)
         end = n - batch_size + 1 if drop_last else n
         self.batches = [list(range(i, min(i + batch_size, n)))
@@ -248,9 +259,14 @@ class Loader:
                           dtype=np.int32)
         if t_pad is None:
             t_pad = round_up(int(t_lens.max()), self.time_mult)
-        # Forced t_pad is a manifest-duration estimate; truncated waveforms
-        # must not claim more frames than the frontend will produce.
-        t_lens = np.minimum(t_lens, t_pad)
+        elif int(t_lens.max()) > t_pad:
+            # Forced t_pad is a manifest-duration estimate; mirror the
+            # featurized path's contract (_collate) — fail loudly rather
+            # than silently truncating audio at s_pad (ADVICE r3).
+            raise ValueError(
+                f"actual frame count {int(t_lens.max())} exceeds the forced "
+                f"t_pad {t_pad} estimated from manifest durations; increase "
+                f"the manifest's duration precision or the loader headroom")
         s_pad = samples_for_frames(t_pad, sr)
         wavs = np.zeros((len(data), s_pad), dtype=np.float32)
         for i, a in enumerate(auds):

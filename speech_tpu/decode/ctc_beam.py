@@ -101,7 +101,7 @@ def decode(probs: np.ndarray, beam_size: int = 10, blank: int = 0,
 
 @functools.partial(jax.jit, static_argnames=("beam_size", "blank", "max_len"))
 def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
-               blank: int, max_len: int):
+               blank: int, max_len: int, lm_logp: Optional[jax.Array] = None):
     b, t_max, nclass = log_probs.shape
     k = beam_size
     v = nclass  # symbol axis includes blank; extensions skip it via masking
@@ -150,6 +150,12 @@ def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
         is_repeat = sym_ids[None, None, :] == last[..., None]  # (B,K,V)
         ext = jnp.where(is_repeat, p_b[..., None] + lp_sym,
                         tot[..., None] + lp_sym)
+        if lm_logp is not None:
+            # Bigram LM at the extension point (the reference marks this spot,
+            # ctc_decoder.py:95): lm_logp[last+1, s] with row 0 = empty prefix.
+            # Applied to every extension contribution, merged ones included
+            # (the merge below reads from ``ext``), matching the host hook.
+            ext = ext + lm_logp[last + 1]  # (B,K,V)
         # blank is not an extension symbol; invalid beams can't extend
         ext = jnp.where(not_blank[None, None, :], ext, _NEG)
         ext = jnp.where((tot > _NEG / 2)[..., None], ext, _NEG)
@@ -242,13 +248,18 @@ def _beam_scan(log_probs: jax.Array, lengths: jax.Array, beam_size: int,
 
 
 def ctc_beam_decode(log_probs, lengths, beam_size: int = 8,
-                    blank: Optional[int] = None, max_len: Optional[int] = None
-                    ) -> tuple[list[list[int]], np.ndarray]:
+                    blank: Optional[int] = None, max_len: Optional[int] = None,
+                    lm_logp=None) -> tuple[list[list[int]], np.ndarray]:
     """Batched on-device prefix beam decode.
 
     Args:
       log_probs: (B, T, V+1) log posteriors.
       lengths: (B,) true frame counts.
+      lm_logp: optional (V+2, V+1) dense bigram LM table added to extension
+        scores: ``lm_logp[last + 1, s]`` is the log LM score of appending
+        symbol ``s`` after last symbol ``last`` (row 0 = empty prefix). This
+        is the device counterpart of the host decoder's ``lm_score`` hook
+        (reference ctc_decoder.py:95); blank rows/columns are never read.
 
     Returns (per-utterance label lists, (B,) negative log likelihoods).
     """
@@ -257,8 +268,14 @@ def ctc_beam_decode(log_probs, lengths, beam_size: int = 8,
         blank = nclass - 1
     if max_len is None:
         max_len = t_max
+    if lm_logp is not None:
+        lm_logp = jnp.asarray(lm_logp, jnp.float32)
+        if lm_logp.shape != (nclass + 1, nclass):
+            raise ValueError(
+                f"lm_logp must be ({nclass + 1}, {nclass}) [rows: empty prefix"
+                f" + every class; cols: every class], got {lm_logp.shape}")
     prefix, lens, nll = _beam_scan(jnp.asarray(log_probs),
                                    jnp.asarray(lengths), beam_size, blank,
-                                   max_len)
+                                   max_len, lm_logp)
     prefix, lens, nll = np.asarray(prefix), np.asarray(lens), np.asarray(nll)
     return [prefix[i, : lens[i]].tolist() for i in range(b)], nll

@@ -36,18 +36,39 @@ from speech_tpu.models.encoder import EncoderConfig
 
 
 class StreamingFeaturizer:
-    """Incremental log-spectrogram with normalization.
+    """Incremental features (log-spectrogram or log-mel) with normalization.
 
-    push(samples) consumes int16/float samples and returns (n_frames, freq)
+    push(samples) consumes int16/float samples and returns (n_frames, dim)
     float32 features identical to the offline featurizer over the stream so
     far. A remainder of < nperseg samples is kept between pushes.
+
+    ``feature_type``/``n_mels`` mirror the Preprocessor's feature options
+    (data.preprocessor): "logspec" (reference parity) or "mel" — a
+    logmel-trained model streams with ``from_preproc``.
     """
 
-    def __init__(self, sample_rate: int, mean: np.ndarray, std: np.ndarray):
+    def __init__(self, sample_rate: int, mean: np.ndarray, std: np.ndarray,
+                 feature_type: str = "logspec", n_mels: int = 0):
         self.sample_rate = sample_rate
         self.mean, self.std = np.asarray(mean), np.asarray(std)
         self.nperseg, self.hop = F.stft_params(sample_rate)
+        if feature_type not in ("logspec", "mel"):
+            raise ValueError(f"unknown feature_type {feature_type!r}; "
+                             "have logspec, mel")
+        if feature_type == "mel" and n_mels <= 0:
+            raise ValueError("feature_type='mel' needs n_mels > 0")
+        self.feature_type = feature_type
+        self.n_mels = n_mels
+        self._dim = n_mels if feature_type == "mel" else self.nperseg // 2 + 1
         self._buf = np.zeros((0,), np.float64)
+
+    @classmethod
+    def from_preproc(cls, preproc, sample_rate: int) -> "StreamingFeaturizer":
+        """Build from a fitted Preprocessor (stats + feature options travel
+        with the checkpoint, utils/io.py)."""
+        return cls(sample_rate, preproc.mean, preproc.std,
+                   feature_type=getattr(preproc, "feature_type", "logspec"),
+                   n_mels=getattr(preproc, "n_mels", 0))
 
     def reset(self) -> None:
         self._buf = np.zeros((0,), np.float64)
@@ -56,8 +77,11 @@ class StreamingFeaturizer:
         self._buf = np.concatenate([self._buf, np.asarray(samples, np.float64)])
         n = self._buf.shape[0]
         if n < self.nperseg:
-            return np.zeros((0, self.nperseg // 2 + 1), np.float32)
-        feats = F.log_specgram_np(self._buf, self.sample_rate)
+            return np.zeros((0, self._dim), np.float32)
+        if self.feature_type == "mel":
+            feats = F.log_mel_np(self._buf, self.sample_rate, self.n_mels)
+        else:
+            feats = F.log_specgram_np(self._buf, self.sample_rate)
         t = feats.shape[0]
         # keep the samples not yet fully consumed (next frame starts at t*hop)
         self._buf = self._buf[t * self.hop:]

@@ -253,12 +253,13 @@ def make_infer_step(model, max_len: int = 200,
 
 
 def infer_batch(model, params, batch, max_len: int = 200,
-                beam_size: int = 0, infer_step: Optional[Callable] = None
-                ) -> list[list[int]]:
+                beam_size: int = 0, infer_step: Optional[Callable] = None,
+                lm_logp=None) -> list[list[int]]:
     """Predictions for a batch, dispatched by model family. ``beam_size`` 0
     means greedy; >0 selects beam search where implemented. Pass a hoisted
     ``infer_step`` (make_infer_step) so greedy decode runs as one jitted
-    program reused across batches."""
+    program reused across batches. ``lm_logp`` is an optional dense bigram
+    LM table for the CTC beam (decode.ctc_beam.ctc_beam_decode)."""
     from speech_tpu.models.seq2seq import Seq2SeqModel
     from speech_tpu.models.transducer import TransducerModel
 
@@ -289,7 +290,7 @@ def infer_batch(model, params, batch, max_len: int = 200,
         from speech_tpu.decode.ctc_beam import ctc_beam_decode
 
         labels, _ = ctc_beam_decode(log_probs, lengths, beam_size=beam_size,
-                                    blank=model.blank)
+                                    blank=model.blank, lm_logp=lm_logp)
         return labels
     return postprocess_decoded(model, (log_probs, lengths))
 
@@ -322,6 +323,31 @@ def eval_dev(model, params, loader: Loader, preproc: Preprocessor,
     if verbose:
         print(f"  dev loss {avg_loss:.3f}, dev cer {cer:.3f}")
     return avg_loss, cer
+
+
+def save_checkpoint_synced(save_path: str, params, opt_state, preproc,
+                           config: dict, *, step: int, epoch: int,
+                           best_so_far: float, is_best: bool) -> None:
+    """Single-writer checkpoint + barrier (multi-host safe).
+
+    With N processes on a shared filesystem, concurrent writes to the same
+    npz/json (and their identically-named .tmp files) would race — only
+    process 0 writes; every process then waits at the barrier so nobody can
+    run ahead into the next epoch (or a resume) against a half-written
+    checkpoint. Covered by the 2-process test (tests/_mp_worker.py)."""
+    if jax.process_index() == 0:
+        ckpt.save_train_state(save_path, jax.device_get(params),
+                              jax.device_get(opt_state), preproc, config,
+                              step=step, epoch=epoch, best_so_far=best_so_far)
+        if is_best:
+            from speech_tpu.utils import io as model_io
+
+            model_io.save(save_path, jax.device_get(params), preproc,
+                          config, tag="best")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_epoch_{epoch}")
 
 
 def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
@@ -368,6 +394,18 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
                             process_shard=proc_shard, **loader_kwargs)
     dev_ldr = make_loader(data_cfg["dev_set"], preproc, batch_size,
                           drop_last=False, pad_last=True, **loader_kwargs)
+
+    # Greedy-decode budget for eval (seq2seq/transducer label scans): config
+    # ``model.max_decode_len`` wins; otherwise default from the train
+    # manifest's max label length (+ headroom) — a fixed 200 silently
+    # truncates WSJ-length character transcripts. Written back into the
+    # config so it travels with the checkpoint and eval.py uses the same
+    # budget.
+    if "max_decode_len" not in config["model"]:
+        off = 2 if data_cfg.get("start_and_end", True) else 0
+        max_u = max(len(d["text"]) for d in train_ldr.dataset.data) + off
+        config["model"]["max_decode_len"] = int(max_u + 10)
+    max_decode_len = int(config["model"]["max_decode_len"])
 
     model = build_model(config["model"], preproc)
     tx = make_optimizer(opt_cfg)
@@ -419,7 +457,8 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
         train_step = make_train_step(model, tx, frontend=frontend)
         place_batch = None
     # hoisted: jit cache lives across epochs
-    eval_step = make_eval_step(model, frontend=frontend)
+    eval_step = make_eval_step(model, max_len=max_decode_len,
+                               frontend=frontend)
     avg_loss = 0.0
     summary = {"best_dev_cer": best_so_far, "steps": it, "epochs_run": 0}
 
@@ -458,14 +497,10 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
             logger.log_value("dev_eval_time", time.time() - eval_start, epoch)
 
             best_so_far = min(best_so_far, dev_cer)
-            ckpt.save_train_state(save_path, jax.device_get(params),
-                                  jax.device_get(opt_state), preproc, config,
-                                  step=it, epoch=epoch, best_so_far=best_so_far)
-            if dev_cer == best_so_far:
-                from speech_tpu.utils import io as model_io
-
-                model_io.save(save_path, jax.device_get(params), preproc,
-                              config, tag="best")
+            save_checkpoint_synced(save_path, params, opt_state, preproc,
+                                   config, step=it, epoch=epoch,
+                                   best_so_far=best_so_far,
+                                   is_best=dev_cer == best_so_far)
             summary.update(best_dev_cer=best_so_far, steps=it,
                            epochs_run=epoch - start_epoch + 1,
                            last_dev_loss=dev_loss, last_dev_cer=dev_cer,

@@ -66,6 +66,28 @@ def main():
                                        jax.random.PRNGKey(1))
     loss = float(loss)
     assert np.isfinite(loss), loss
+
+    # --- single-writer checkpoint epoch (trainer.save_checkpoint_synced) ---
+    from speech_tpu.training import checkpoint as ckpt_mod
+    from speech_tpu.training.trainer import save_checkpoint_synced
+
+    save_dir = sys.argv[4]
+    writes = []
+    orig_save = ckpt_mod.save_train_state
+    ckpt_mod.save_train_state = (
+        lambda *a, **kw: (writes.append(1), orig_save(*a, **kw))[1])
+    cfg_full = {"model": cfg, "data": {}, "optimizer": {}}
+    save_checkpoint_synced(save_dir, params, opt_state, preproc, cfg_full,
+                           step=1, epoch=0, best_so_far=1.0, is_best=True)
+    ckpt_mod.save_train_state = orig_save
+    # exactly ONE writer across the job: process 0 wrote, process 1 did not
+    assert len(writes) == (1 if pid == 0 else 0), (pid, writes)
+    # the barrier ordered the write before anyone proceeds: every process can
+    # now read the checkpoint process 0 wrote
+    assert ckpt_mod.has_train_state(save_dir), save_dir
+    restored, _, state = ckpt_mod.restore_train_state(save_dir, opt_state)
+    assert state["step"] == 1 and state["epoch"] == 0, state
+
     print(f"WORKER_OK {pid} loss={loss:.4f}", flush=True)
 
 

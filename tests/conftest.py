@@ -40,58 +40,104 @@ import pytest
 
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
-                     help="also run tests marked slow (exhaustive parity "
-                          "sweeps, full config training loops)")
+                     help="also run tests marked slow (integration tests, "
+                          "kernel parity, ~5 min total)")
+    parser.addoption("--run-exhaustive", action="store_true", default=False,
+                     help="also run tests marked exhaustive (brute-force "
+                          "sweeps, redundant seeds; implies --runslow)")
 
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: exhaustive/integration test excluded from the "
-        "default quick suite (enable with --runslow or RUN_SLOW=1)")
+        "markers", "slow: excluded from the default quick suite; the whole "
+        "tier runs in <5 min (enable with --runslow / RUN_SLOW=1; select "
+        "with -m slow)")
+    config.addinivalue_line(
+        "markers", "exhaustive: brute-force sweeps / redundant seeds beyond "
+        "the slow tier's 5-minute budget (enable with --run-exhaustive / "
+        "RUN_EXHAUSTIVE=1)")
     config.addinivalue_line(
         "markers", "tpu: needs a real TPU; skipped on other platforms")
 
 
-# Heavy tests (>10 s each on this 2-CPU box, measured with --durations) are
-# auto-marked slow here — one maintenance point instead of decorators spread
-# over 20 files. Every subsystem keeps at least one fast test in the quick
-# suite; the full sweep runs with --runslow / RUN_SLOW=1.
-_HEAVY_TESTS = {
-    "test_dryrun_multichip_contract",
-    "test_pallas_grad_matches_pure",
-    "test_pallas_weighted_cotangent",
-    "test_bf16_loss_close_to_f32",
-    "test_bf16_gradients_finite_and_f32",
-    "test_beam_improves_on_greedy_score",
-    "test_tp_train_step_matches_replicated",
-    "test_distributed_eval_matches_serial",
-    "test_loss_and_grads",
-    "test_parallel_step_seq2seq_transducer",
-    "test_parallel_step_matches_single_device",
-    "test_parallel_multiple_steps_converge",
-    "test_ctc_loss_runs_and_is_finite",
-    "test_ctc_bidirectional_and_dropout",
-    "test_rnnt_grad_finite_difference",
-    "test_beam1_matches_greedy",
-    "test_encoder_seq_sharded_matches_unsharded",
-    "test_bigru_seq_sharded_per_utterance_lengths",
-    "test_make_seq_infer_step_matches_log_probs",
-    "test_bigru_seq_sharded_matches_encoder_layer",
-    "test_full_vjp_matches_scan",
-    "test_streaming_transducer_matches_offline_greedy",
-    "test_streaming_encoder_matches_offline",
-    "test_padding_does_not_affect_valid_outputs",
+# Tier assignment lives here — one maintenance point instead of decorators
+# spread over 20 files. Keys are "file.py::test_name" (full node IDs, so an
+# unrelated same-named test in another file is never swept up; param ids like
+# "[1]" select single parametrizations). Tests are MARKED (slow/exhaustive),
+# not just skipped, so ``-m slow`` selects the full tier. Every subsystem
+# keeps at least one fast test in the quick suite.
+#
+# slow tier: >3 s each on this 2-CPU box (measured with --durations); the
+# whole tier must stay under 5 minutes — anything bigger, or a redundant
+# extra seed of a covered property, goes to exhaustive.
+_SLOW_TESTS = {
+    "parallel_test.py::test_pallas_grad_matches_pure",
+    "ctc_pallas_test.py::test_pallas_grad_matches_pure",
+    "rnnt_pallas_test.py::test_pallas_grad_matches_pure",
+    "ctc_pallas_test.py::test_pallas_weighted_cotangent",
+    "rnnt_pallas_test.py::test_pallas_weighted_cotangent",
+    "mixed_precision_test.py::test_bf16_loss_close_to_f32",
+    "mixed_precision_test.py::test_bf16_gradients_finite_and_f32",
+    "rnnt_beam_test.py::test_beam_improves_on_greedy_score",
+    "tp_test.py::test_tp_train_step_matches_replicated",
+    "distributed_eval_test.py::test_distributed_eval_matches_serial",
+    "seq2seq_test.py::test_loss_and_grads",
+    "transducer_test.py::test_loss_and_grads",
+    "parallel_train_test.py::test_parallel_step_seq2seq_transducer",
+    "parallel_test.py::test_parallel_step_matches_single_device",
+    "parallel_test.py::test_parallel_multiple_steps_converge",
+    "model_test.py::test_ctc_loss_runs_and_is_finite",
+    "model_test.py::test_ctc_bidirectional_and_dropout",
+    "rnnt_loss_test.py::test_rnnt_grad_finite_difference",
+    "seqparallel_test.py::test_bigru_seq_sharded_matches_encoder_layer",
+    "seqparallel_test.py::test_bigru_seq_sharded_per_utterance_lengths",
+    "seqparallel_test.py::test_make_seq_infer_step_matches_log_probs",
+    "streaming_test.py::test_streaming_transducer_matches_offline_greedy",
+    "streaming_test.py::test_streaming_encoder_matches_offline",
+    "model_test.py::test_padding_does_not_affect_valid_outputs",
+    "seq2seq_beam_test.py::test_beam_matches_exhaustive[0]",
+    "rnnt_beam_test.py::test_beam_matches_exhaustive_viterbi[0]",
+}
+
+# exhaustive tier: brute-force sweeps and redundant seeds (seed [0] of each
+# stays in slow), plus integration paths the round driver already exercises
+# independently (dryrun_multichip runs via __graft_entry__ every round).
+_EXHAUSTIVE_TESTS = {
+    "seq2seq_beam_test.py::test_beam_matches_exhaustive[1]",
+    "seq2seq_beam_test.py::test_beam_matches_exhaustive[2]",
+    "rnnt_beam_test.py::test_beam_matches_exhaustive_viterbi[1]",
+    "rnnt_beam_test.py::test_beam_matches_exhaustive_viterbi[2]",
+    "parallel_test.py::test_dryrun_multichip_contract",
+    "seqparallel_test.py::test_gru_seq_sharded_grads_flow",
+    "seqparallel_test.py::test_encoder_seq_sharded_matches_unsharded",
+    "profiling_test.py::test_trace_window_via_trainer",
 }
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
-        return
-    skip = pytest.mark.skip(reason="slow test: pass --runslow (or RUN_SLOW=1)")
+    run_exhaustive = (config.getoption("--run-exhaustive")
+                      or os.environ.get("RUN_EXHAUSTIVE"))
+    run_slow = (config.getoption("--runslow") or os.environ.get("RUN_SLOW")
+                or run_exhaustive)
+    skip_slow = pytest.mark.skip(
+        reason="slow test: pass --runslow (or RUN_SLOW=1)")
+    skip_exh = pytest.mark.skip(
+        reason="exhaustive test: pass --run-exhaustive (or RUN_EXHAUSTIVE=1)")
     for item in items:
-        name = getattr(item, "originalname", None) or item.name
-        if "slow" in item.keywords or name in _HEAVY_TESTS:
-            item.add_marker(skip)
+        base = item.fspath.basename
+        ids = {f"{base}::{item.name}"}
+        orig = getattr(item, "originalname", None)
+        if orig:
+            ids.add(f"{base}::{orig}")
+        if ids & _EXHAUSTIVE_TESTS:
+            item.add_marker(pytest.mark.exhaustive)
+        elif ids & _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        if "exhaustive" in item.keywords:
+            if not run_exhaustive:
+                item.add_marker(skip_exh)
+        elif "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
 
 
 def pytest_runtest_setup(item):

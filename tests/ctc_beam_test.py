@@ -89,6 +89,45 @@ def test_lm_hook():
     assert lm_label != base_label or all(s == 0 for s in base_label)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("beam", [2, 4, 8])
+def test_device_lm_matches_host_lm(seed, beam):
+    """Device beam with a dense bigram table == host beam with the equivalent
+    ``lm_score`` hook (host/device parity WITH an LM enabled)."""
+    rng = np.random.default_rng(200 + seed)
+    b, t, v = 3, 10, 5
+    lp = np.stack([rand_lp(rng, t, v) for _ in range(b)])
+    lp[:, :, 1] += 1.5  # exercise the repeat/merge path under the LM
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    lengths = np.array([t, t - 2, t - 5], np.int32)
+    blank = v - 1
+    # Dense bigram table: rows = last symbol + 1 (row 0 = empty prefix).
+    lm_tab = rng.standard_normal((v + 1, v)).astype(np.float32) * 0.7
+    lm = lambda prefix, s: float(lm_tab[(prefix[-1] + 1) if prefix else 0, s])
+    labels, nll = ctc_beam_decode(lp, lengths, beam_size=beam, blank=blank,
+                                  lm_logp=lm_tab)
+    for i in range(b):
+        ref_label, ref_nll = decode(lp[i, : lengths[i]], beam_size=beam,
+                                    blank=blank, is_log=True, lm_score=lm)
+        assert tuple(labels[i]) == ref_label, (i, labels[i], ref_label)
+        np.testing.assert_allclose(nll[i], ref_nll, rtol=1e-4, atol=1e-4)
+
+
+def test_device_lm_prior_flips_decode():
+    """A strong device-side LM prior toward symbol 0 flips the decode (same
+    contract as the host test_lm_hook)."""
+    rng = np.random.default_rng(11)
+    b, t, v = 2, 8, 4
+    lp = np.stack([rand_lp(rng, t, v) for _ in range(b)])
+    lengths = np.array([t, t], np.int32)
+    lm_tab = np.full((v + 1, v), -5.0, np.float32)
+    lm_tab[:, 0] = 0.0
+    labels, _ = ctc_beam_decode(lp, lengths, beam_size=8, blank=v - 1,
+                                lm_logp=lm_tab)
+    for lab in labels:
+        assert all(s == 0 for s in lab)
+
+
 def test_probs_interface():
     """Reference-compatible non-log posterior input (ctc_decoder.py:38-44)."""
     rng = np.random.default_rng(9)

@@ -2,6 +2,7 @@
 plus the TPU-specific static-shape guarantees)."""
 
 import numpy as np
+import pytest
 
 from speech_tpu.data import features as F
 from speech_tpu.data.loader import AudioDataset, make_loader
@@ -97,6 +98,26 @@ def test_loader_epoch_shuffle_deterministic(tiny_corpus):
     # next epoch differs in order but same multiset
     b1e2 = [b["input_lengths"].tolist() for b in l1]
     assert sorted(map(tuple, b1e2)) == sorted(map(tuple, b1))
+
+
+def test_pad_last_rejects_process_sharding(tiny_corpus):
+    """pad_last's _n_valid is a global count; combining it with per-host row
+    slices would mis-slice silently — the loader refuses (ADVICE r3)."""
+    preproc = Preprocessor(tiny_corpus["manifest"])
+    with pytest.raises(ValueError, match="pad_last"):
+        make_loader(tiny_corpus["manifest"], preproc, batch_size=4,
+                    drop_last=False, pad_last=True, process_shard=(0, 2),
+                    num_workers=1)
+
+
+def test_raw_path_rejects_forced_tpad_underestimate(tiny_corpus):
+    """The raw-waveform path fails loudly when a forced t_pad underestimates
+    the true frame count, mirroring the featurized collate (ADVICE r3)."""
+    preproc = Preprocessor(tiny_corpus["manifest"])
+    loader = make_loader(tiny_corpus["manifest"], preproc, batch_size=2,
+                         raw_audio=True, num_workers=1)
+    with pytest.raises(ValueError, match="exceeds the forced t_pad"):
+        loader._make_batch_raw([0, 1], t_pad=1)
 
 
 def test_loader_pad_last_one_shape(tiny_corpus):

@@ -50,13 +50,14 @@ def mp_corpus(tmp_path_factory):
 
 
 @pytest.mark.slow
-def test_two_process_distributed(mp_corpus):
+def test_two_process_distributed(mp_corpus, tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    save_dir = str(tmp_path / "ckpt")  # shared fs for the single-writer check
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(i), mp_corpus],
+            [sys.executable, WORKER, str(port), str(i), mp_corpus, save_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for i in range(2)

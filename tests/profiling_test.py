@@ -11,7 +11,6 @@ from speech_tpu.training import trainer
 from speech_tpu.utils.profiling import summarize_trace
 
 
-@pytest.mark.slow
 def test_trace_window_via_trainer(tiny_corpus):
     save = tempfile.mkdtemp(prefix="prof_run_")
     cfg = {

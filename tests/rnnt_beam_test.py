@@ -66,8 +66,7 @@ def viterbi_path_score(model, params, batch, utt, y):
     return alpha[t_len - 1, u] + lp[t_len - 1, u, blank]
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])  # tiered in conftest: [0] slow, rest exhaustive
 def test_beam_matches_exhaustive_viterbi(seed):
     model, params, batch = make_case(seed)
     preds, scores = rnnt_beam_search(model, params, batch, beam_size=16,

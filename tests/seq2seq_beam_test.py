@@ -59,8 +59,7 @@ def chain_score(model, params, batch, utt, seq):
     return score
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])  # tiered in conftest: [0] slow, rest exhaustive
 def test_beam_matches_exhaustive(seed):
     model, params, batch = make_case(seed)
     max_len = 4

@@ -113,7 +113,6 @@ def test_encoder_seq_sharded_matches_unsharded(mesh):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.slow
 def test_gru_seq_sharded_grads_flow(mesh):
     rng = np.random.default_rng(4)
     b, t, d, h = 1, 16, 4, 4

@@ -47,6 +47,38 @@ def test_streaming_featurizer_matches_offline():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_streaming_featurizer_logmel_matches_offline():
+    """A logmel config streams with exact offline parity (feature_type
+    branch + from_preproc plumbing)."""
+    rng = np.random.default_rng(5)
+    sr, n_mels = 16000, 24
+    samples = (rng.standard_normal(sr) * 3000).astype(np.int16)
+    offline = F.log_mel_np(samples, sr, n_mels)
+    mean, std = offline.mean(0), offline.std(0) + 1e-6
+
+    class _Pre:  # fitted-preprocessor stand-in (stats + feature options)
+        feature_type = "mel"
+        pass
+
+    pre = _Pre(); pre.n_mels = n_mels; pre.mean = mean; pre.std = std
+    sf = StreamingFeaturizer.from_preproc(pre, sr)
+    chunks = []
+    for start in range(0, len(samples), 1111):
+        chunks.append(sf.push(samples[start:start + 1111]))
+    streamed = np.concatenate([c for c in chunks if c.size], axis=0)
+    assert streamed.shape[1] == n_mels
+    assert streamed.shape[0] >= offline.shape[0] - 1
+    np.testing.assert_allclose(streamed[: offline.shape[0]],
+                               (offline - mean) / std, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_featurizer_rejects_bad_config():
+    with pytest.raises(ValueError, match="n_mels"):
+        StreamingFeaturizer(16000, 0.0, 1.0, feature_type="mel")
+    with pytest.raises(ValueError, match="feature_type"):
+        StreamingFeaturizer(16000, 0.0, 1.0, feature_type="mfcc")
+
+
 def test_streaming_encoder_matches_offline():
     model = _ctc_model()
     rng = np.random.default_rng(1)

@@ -125,6 +125,60 @@ def test_seq2seq_trains(tiny_corpus, tmp_path):
     assert cer >= 0.0
 
 
+@pytest.mark.slow
+def test_long_transcript_decodes_untruncated(tmp_path):
+    """WSJ-length transcripts: trainer.run derives ``model.max_decode_len``
+    from the train manifest (> the old fixed 200), saves it with the
+    checkpoint, and the eval path compiles its decode scan to that budget so
+    a 250-char target can be produced untruncated."""
+    from speech_tpu.utils import wave as stw
+
+    rng = np.random.default_rng(3)
+    long_text = "ab c" * 63  # 252 chars > the old fixed max_len=200
+    rows = []
+    for i, text in enumerate([long_text, "ab ba c"]):
+        n = int(16000 * 1.0)
+        path = str(tmp_path / f"u{i}.wav")
+        stw.write_wave(path, (rng.standard_normal(n) * 3000).astype(np.int16),
+                       16000)
+        rows.append({"text": text, "duration": n / 16000, "audio": path})
+    manifest = str(tmp_path / "data.json")
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    config = {
+        "seed": 1, "save_path": str(tmp_path / "run"),
+        "data": {"train_set": manifest, "dev_set": manifest,
+                 "start_and_end": True, "time_mult": 20, "label_mult": 4,
+                 "num_workers": 1},
+        "optimizer": {"batch_size": 2, "epochs": 1, "learning_rate": 1e-3},
+        "model": {
+            "class": "Seq2Seq", "dropout": 0.0,
+            "encoder": {"conv": [[4, 5, 31, 2]],
+                        "rnn": {"dim": 16, "layers": 1, "bidirectional": True}},
+            "decoder": {"embedding_dim": 16},
+        },
+    }
+    trainer.run(config, verbose=False)
+    with open(os.path.join(config["save_path"], "best_config.json")) as f:
+        saved = json.load(f)
+    assert saved["model"]["max_decode_len"] >= 254  # 252 + start/end
+
+    # the eval surface compiles its decode scan to the saved budget: force a
+    # no-early-stop decode and check the raw greedy tensor length
+    bundle = speech_tpu.load(config["save_path"], tag="best")
+    from speech_tpu.training.trainer import make_infer_step
+
+    step = make_infer_step(bundle.model, max_len=saved["model"]["max_decode_len"])
+    b = {"inputs": np.zeros((1, 40, bundle.preproc.input_dim), np.float32),
+         "input_lengths": np.array([40], np.int32),
+         "labels": np.zeros((1, 4), np.int32),
+         "label_lengths": np.array([4], np.int32)}
+    out = np.asarray(step(bundle.params, b))
+    assert out.shape[1] >= 254  # scan length == budget, not a fixed 200
+
+
 def test_overfit_small(tiny_corpus, tmp_path):
     """With enough epochs on 6 utterances the model should start matching
     transcripts (loss well below initial)."""
