@@ -77,11 +77,13 @@ def split_by_speaker(data: dict, dev_speakers: int = 50, seed: int = 2017):
     return dev, test
 
 
-def build_json(data: dict, path: str, set_name: str) -> None:
+def build_json(data: dict, path: str, set_name: str,
+               native_sphere: bool = False) -> None:
     out_path = os.path.join(path, set_name + os.path.extsep + "json")
     with open(out_path, "w") as fid:
         for phn_file, phones in tqdm.tqdm(sorted(data.items())):
-            wave_file = os.path.splitext(phn_file)[0] + os.path.extsep + WAV_EXT
+            ext = "wav" if native_sphere else WAV_EXT
+            wave_file = os.path.splitext(phn_file)[0] + os.path.extsep + ext
             fid.write(json.dumps({
                 "text": phones,
                 "duration": wave.wav_duration(wave_file),
@@ -97,21 +99,27 @@ def main():
                         help="Seed for the dev-speaker draw")
     parser.add_argument("--skip_convert", action="store_true",
                         help="Skip NIST->wav conversion (already done)")
+    parser.add_argument("--native_sphere", action="store_true",
+                        help="Skip conversion entirely and point manifests at "
+                             "the original NIST SPHERE files (utils/wave.py "
+                             "reads uncompressed SPHERE natively, like the "
+                             "reference's soundfile)")
     args = parser.parse_args()
 
     path = os.path.abspath(os.path.join(args.output_directory, "timit"))
-    if not args.skip_convert:
+    if not (args.skip_convert or args.native_sphere):
         print("Converting files from NIST to standard wave format...")
         data_helpers.convert_full_set(path, "*/*/*/*.wav", new_ext=WAV_EXT)
 
     print("Preprocessing train")
-    build_json(load_transcripts(os.path.join(path, "train")), path, "train")
+    build_json(load_transcripts(os.path.join(path, "train")), path, "train",
+               native_sphere=args.native_sphere)
 
     print("Preprocessing dev/test")
     transcripts = load_transcripts(os.path.join(path, "test"))
     dev, test = split_by_speaker(transcripts, seed=args.seed)
-    build_json(dev, path, "dev")
-    build_json(test, path, "test")
+    build_json(dev, path, "dev", native_sphere=args.native_sphere)
+    build_json(test, path, "test", native_sphere=args.native_sphere)
 
 
 if __name__ == "__main__":

@@ -163,13 +163,20 @@ class Loader:
         return len(self.batches)
 
     def _sample_rate(self) -> int:
-        """Probe (and cache) the corpus sample rate from one wav header."""
+        """Probe (and cache) the corpus sample rate from one audio header
+        (RIFF or NIST SPHERE — utils/wave dispatches by magic)."""
         sr = getattr(self, "_sr", None)
         if sr is None:
-            import wave as wave_mod
+            from speech_tpu.utils import wave as stw
 
-            with wave_mod.open(self.dataset.data[0]["audio"], "rb") as w:
-                sr = w.getframerate()
+            first = self.dataset.data[0]["audio"]
+            if stw._sniff(first) == "sphere":
+                _, sr = stw._read_sphere(first, header_only=True)
+            else:
+                import wave as wave_mod
+
+                with wave_mod.open(first, "rb") as w:
+                    sr = w.getframerate()
             self._sr = sr
         return sr
 

@@ -1,14 +1,17 @@
-"""WAV audio I/O built on the Python stdlib (no soundfile dependency).
+"""Audio I/O built on the Python stdlib (no soundfile dependency).
 
 Capability parity with the reference's ``speech/utils/wave.py``:
-``array_from_wave`` (reference wave.py:8-10) reads a wav file as int16 samples
-plus the sample rate; ``wav_duration`` (reference wave.py:12-16) probes the
-duration in seconds without reading the payload.
+``array_from_wave`` (reference wave.py:8-10) reads an audio file as int16
+samples plus the sample rate; ``wav_duration`` (reference wave.py:12-16)
+probes the duration in seconds without reading the payload.
 
-The reference uses ``soundfile`` (libsndfile); here we parse RIFF/WAVE directly
-with the stdlib ``wave`` module, which handles the PCM wavs produced by every
-recipe in this framework (TIMIT NIST->wav, WSJ sph2pipe, LibriSpeech flac->wav
-all emit 16-bit PCM).
+The reference uses ``soundfile`` (libsndfile); here we parse the containers
+directly: RIFF/WAVE via the stdlib ``wave`` module, and NIST SPHERE (TIMIT's
+native container) via its ASCII header — so the TIMIT recipe can read the
+corpus in place, like libsndfile does, with no prior conversion. Compressed
+payloads (FLAC files, shorten-embedded SPHERE as shipped in WSJ) still need
+one up-front conversion (utils/convert.py / sph2pipe), matching the recipes'
+existing flow.
 """
 
 from __future__ import annotations
@@ -18,12 +21,98 @@ import wave as _wave
 import numpy as np
 
 
+def _read_sphere(file_name: str, header_only: bool = False
+                 ) -> tuple[np.ndarray | None, int]:
+    """Read a NIST SPHERE file (uncompressed PCM or mu-law payloads).
+
+    TIMIT's ``.wav`` files are SPHERE containers (reference converts them
+    with sox, examples/timit/preprocess.py:65-68; soundfile reads them
+    directly — this matches soundfile). The header is ASCII ``name -type
+    value`` lines inside a fixed-size block whose size is on line 2.
+    """
+    with open(file_name, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"NIST_1A"):
+            raise ValueError(f"{file_name}: not a NIST SPHERE file")
+        header_size = int(f.readline().strip())
+        f.seek(0)
+        header = f.read(header_size).decode("ascii", errors="replace")
+        fields: dict[str, str] = {}
+        for line in header.splitlines()[2:]:
+            if line.strip() == "end_head":
+                break
+            parts = line.split(None, 2)
+            if len(parts) == 3:
+                name, _type, value = parts
+                fields[name] = value
+        rate = int(fields.get("sample_rate", 16000))
+        if header_only:
+            return None, rate
+        n = int(fields["sample_count"])
+        channels = int(fields.get("channel_count", 1))
+        nbytes = int(fields.get("sample_n_bytes", 2))
+        coding = fields.get("sample_coding", "pcm")
+        byte_fmt = fields.get("sample_byte_format", "01")
+        f.seek(header_size)
+        raw = f.read()
+    if "shorten" in coding or "wavpack" in coding:
+        raise ValueError(
+            f"{file_name}: SPHERE payload is '{coding}'-compressed; convert "
+            "once with sph2pipe (the WSJ recipe's existing flow)")
+    if coding.startswith("ulaw") or coding.startswith("mu-law"):
+        u = np.frombuffer(raw[: n * channels], dtype=np.uint8)
+        audio = _ulaw_decode(u)
+    elif nbytes == 2:
+        dt = "<i2" if byte_fmt == "01" else ">i2"
+        audio = np.frombuffer(raw[: 2 * n * channels], dtype=dt).astype("<i2")
+    elif nbytes == 1:
+        audio = (np.frombuffer(raw[: n * channels],
+                               dtype=np.int8).astype(np.int16)) << 8
+    else:
+        raise ValueError(f"{file_name}: unsupported SPHERE sample_n_bytes "
+                         f"{nbytes}")
+    if channels > 1:
+        audio = audio.reshape(-1, channels)
+    return np.asarray(audio, dtype=np.int16), rate
+
+
+def _ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (exact table semantics)."""
+    u = (~u.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = ((mantissa << 3) + 0x84) << exponent
+    sample = sample - 0x84
+    return np.where(sign != 0, -sample, sample).astype(np.int16)
+
+
+def _sniff(file_name: str) -> str:
+    with open(file_name, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"RIFF"):
+        return "wav"
+    if magic.startswith(b"NIST_1A"):
+        return "sphere"
+    if magic.startswith(b"fLaC"):
+        return "flac"
+    return "unknown"
+
+
 def array_from_wave(file_name: str) -> tuple[np.ndarray, int]:
-    """Read a PCM wav file.
+    """Read an audio file (RIFF/WAVE or NIST SPHERE, dispatched by magic).
 
     Returns ``(audio, sample_rate)`` where ``audio`` is an int16 array of shape
     ``(num_frames,)`` for mono or ``(num_frames, num_channels)`` otherwise.
     """
+    kind = _sniff(file_name)
+    if kind == "sphere":
+        audio, rate = _read_sphere(file_name)
+        return audio, rate
+    if kind == "flac":
+        raise ValueError(
+            f"{file_name}: FLAC needs one up-front conversion to wav "
+            "(utils/convert.py / the LibriSpeech recipe's preprocess step)")
     with _wave.open(file_name, "rb") as wf:
         n_channels = wf.getnchannels()
         sample_width = wf.getsampwidth()
@@ -45,7 +134,19 @@ def array_from_wave(file_name: str) -> tuple[np.ndarray, int]:
 
 
 def wav_duration(file_name: str) -> float:
-    """Duration of a wav file in seconds, from the header only."""
+    """Duration of an audio file in seconds, from the header only."""
+    if _sniff(file_name) == "sphere":
+        with open(file_name, "rb") as f:
+            f.readline()
+            header_size = int(f.readline().strip())
+            f.seek(0)
+            header = f.read(header_size).decode("ascii", errors="replace")
+        fields = {}
+        for line in header.splitlines()[2:]:
+            parts = line.split(None, 2)
+            if len(parts) == 3:
+                fields[parts[0]] = parts[2]
+        return int(fields["sample_count"]) / float(fields["sample_rate"])
     with _wave.open(file_name, "rb") as wf:
         return wf.getnframes() / float(wf.getframerate())
 

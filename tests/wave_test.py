@@ -34,3 +34,80 @@ def test_stereo(tmp_path):
     back, rate = wave.array_from_wave(path)
     assert back.shape == (100, 2)
     assert (back[:, 0] == 5).all()
+
+
+def _write_sphere(path, audio, sr, byte_format="01", coding="pcm"):
+    """Minimal NIST SPHERE writer for tests (1024-byte ASCII header)."""
+    if coding == "ulaw":
+        payload = audio.astype(np.uint8).tobytes()
+        nbytes = 1
+    else:
+        payload = audio.astype(">i2" if byte_format == "10" else "<i2").tobytes()
+        nbytes = 2
+    head = (
+        "NIST_1A\n   1024\n"
+        f"sample_count -i {len(audio)}\n"
+        f"sample_rate -i {sr}\n"
+        "channel_count -i 1\n"
+        f"sample_n_bytes -i {nbytes}\n"
+        f"sample_byte_format -s{len(byte_format)} {byte_format}\n"
+        f"sample_coding -s{len(coding)} {coding}\n"
+        "end_head\n")
+    with open(path, "wb") as f:
+        f.write(head.encode().ljust(1024, b" "))
+        f.write(payload)
+
+
+def test_sphere_pcm_little_and_big_endian(tmp_path):
+    """TIMIT ships NIST SPHERE; both byte orders read natively (soundfile
+    parity, reference speech/utils/wave.py:8-10)."""
+    sr = 16000
+    audio = (np.sin(np.linspace(0, 220 * 2 * np.pi, sr // 2)) * 12345).astype(
+        np.int16)
+    for bf in ("01", "10"):
+        path = str(tmp_path / f"t_{bf}.sph")
+        _write_sphere(path, audio, sr, byte_format=bf)
+        back, rate = wave.array_from_wave(path)
+        assert rate == sr
+        np.testing.assert_array_equal(back, audio)
+        assert wave.wav_duration(path) == 0.5
+
+
+def test_sphere_ulaw(tmp_path):
+    """G.711 mu-law SPHERE payload decodes to linear int16."""
+    sr = 8000
+    # mu-law encode a ramp with the inverse of the decoder's table math
+    lin = np.linspace(-30000, 30000, 1000).astype(np.int16)
+    # reference mu-law encoder (G.711)
+    BIAS, CLIP = 0x84, 32635
+    x = lin.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.clip(np.abs(x), 0, CLIP) + BIAS
+    exponent = (np.floor(np.log2(x)) - 7).astype(np.int32)
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    enc = (~(sign | (exponent << 4) | mantissa)) & 0xFF
+    path = str(tmp_path / "t.sph")
+    _write_sphere(path, enc.astype(np.uint8), sr, coding="ulaw")
+    back, rate = wave.array_from_wave(path)
+    assert rate == sr
+    # mu-law is lossy: reconstruction within the step size of each segment
+    err = np.abs(back.astype(np.int32) - lin.astype(np.int32))
+    assert err.max() < 1100, err.max()
+
+
+def test_sphere_shorten_rejected(tmp_path):
+    path = str(tmp_path / "t.sph")
+    _write_sphere(path, np.zeros(10, np.int16), 16000,
+                  coding="pcm,embedded-shorten-v2.00")
+    import pytest
+    with pytest.raises(ValueError, match="sph2pipe"):
+        wave.array_from_wave(path)
+
+
+def test_flac_clear_error(tmp_path):
+    path = str(tmp_path / "t.flac")
+    with open(path, "wb") as f:
+        f.write(b"fLaC" + b"\x00" * 64)
+    import pytest
+    with pytest.raises(ValueError, match="FLAC"):
+        wave.array_from_wave(path)

@@ -1,13 +1,15 @@
-"""Chained component timings of the flagship step (tunnel-honest).
+"""Component timings of the flagship step with real backward passes.
 
-tools/perf_breakdown.py fetches a scalar per iteration, which on this
-machine's tunneled TPU adds a ~26 ms round trip to EVERY number (visible as
-"ctc fwd" == "ctc fwd+bwd" there), and its value_and_grad probe returned only
-the loss, letting XLA dead-code-eliminate the whole backward pass. This tool
-fixes both: each timed program is CHAINED (step k+1's input depends on step
-k's output, so the device serializes the work with no host sync) and the
-chain is fetched ONCE at the end; gradient probes return a reduction over the
-full gradient tree so nothing is DCE'd.
+tools/perf_breakdown.py had two measurement bugs on this machine: (a) its
+value_and_grad probes returned only the loss, letting XLA dead-code-eliminate
+the whole backward pass ("ctc fwd" == "ctc fwd+bwd" there), and (b) every
+number carries the tunnel's dispatch+fetch overhead. This tool fixes (a) by
+returning ``loss + 0 * sum(grads)`` so nothing is DCE'd, and quantifies (b)
+with a null-program baseline to subtract. The measurement loop is the
+bench.py protocol exactly — fetch the scalar result every OTHER step — which
+is the only pattern that behaves on this tunnel (block_until_ready does not
+synchronize, and queues deeper than ~2 hit a pathological slow path that
+hangs chained programs entirely).
 
 Usage: python tools/perf_chain.py [--batch 64] [--steps 10]
 """
@@ -15,6 +17,7 @@ Usage: python tools/perf_chain.py [--batch 64] [--steps 10]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -26,28 +29,36 @@ import numpy as np
 
 from __graft_entry__ import FLAGSHIP_MODEL_CFG, _Spec, _fake_batch
 from speech_tpu.models import build_model
-from speech_tpu.training.trainer import make_optimizer, make_train_step
+from speech_tpu.training.trainer import (enable_compilation_cache,
+                                         make_optimizer, make_train_step)
 
 
-def time_chain(name, fn, scalar_of, init_carry, steps=10):
-    """fn: jitted carry -> carry; scalar_of: jitted carry -> f32 scalar (the
-    sync probe). Times ``steps`` chained applications, syncing every 2 steps
-    (this box's tunnel hits a pathological slow path on deep async queues —
-    see bench.py — so the queue is kept at <=2 like the bench protocol; the
-    ~26 ms fetch round trip amortizes to ~13 ms/step, subtract mentally).
-    Continues from the post-compile carry (donation-safe: never reuses a
-    buffer that a donating step already consumed)."""
-    carry = fn(init_carry)  # compile
-    _ = float(scalar_of(carry))  # sync
+def timeit(name, fn, *args, steps=10):
+    """fn(*args) -> f32 scalar depending on ALL work to be timed. Fetches the
+    scalar every other step (bench.py protocol; see module doc)."""
+    out = fn(*args)  # compile
+    v = float(out)
+    assert np.isfinite(v), (name, v)
     t0 = time.perf_counter()
     for i in range(steps):
-        carry = fn(carry)
+        out = fn(*args)
         if i % 2 == 1:
-            _ = float(scalar_of(carry))
-    _ = float(scalar_of(carry))
+            _ = float(out)
+    _ = float(out)
     dt = (time.perf_counter() - t0) / steps
     print(f"{name:34s} {dt * 1e3:9.2f} ms", flush=True)
     return dt
+
+
+def grad_probe(loss_fn):
+    """jit of params -> loss + 0 * sum(grads): backward can't be DCE'd."""
+    @jax.jit
+    def f(p, *rest):
+        loss, grads = jax.value_and_grad(loss_fn)(p, *rest)
+        gsum = sum(jnp.sum(g.astype(jnp.float32))
+                   for g in jax.tree.leaves(grads))
+        return loss.astype(jnp.float32) + 0.0 * gsum
+    return f
 
 
 def main():
@@ -58,6 +69,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
+
+    enable_compilation_cache()
 
     cfg = dict(FLAGSHIP_MODEL_CFG, dtype=args.dtype)
     model = build_model(cfg, _Spec())
@@ -71,63 +84,54 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     print(f"batch={args.batch} frames={args.frames} dtype={args.dtype} "
-          f"steps={args.steps}")
+          f"steps={args.steps}", flush=True)
 
-    # --- full train step, chained through (params, opt_state) ---
+    # --- null program: pure dispatch+fetch overhead of this protocol ---
+    null = jax.jit(lambda x: x + 1.0)
+    timeit("null op (protocol overhead)", null, jnp.float32(0),
+           steps=args.steps)
+
+    # --- full train step: EXACT bench.py loop (donation + rebind) ---
     tx = make_optimizer({"learning_rate": 1e-3, "momentum": 0.9})
-    opt_state = jax.device_put(tx.init(params))
-    raw_step = make_train_step(model, tx)
+    opt_state = jax.device_put(tx.init(jax.device_get(params)))
+    step = make_train_step(model, tx)
     key = jax.random.PRNGKey(1)
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.tree.map(jnp.copy, opt_state)
+    p, o, loss, gn = step(p, o, batch, key)  # compile
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        p, o, loss, gn = step(p, o, batch, key)
+        if i % 2 == 1:
+            _ = float(loss)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"{'full train step':34s} {dt * 1e3:9.2f} ms", flush=True)
+    del p, o
 
-    def full_step(carry):
-        p, o = carry
-        p, o, loss, gn = raw_step(p, o, batch, key)
-        return (p, o)
-
-    # copies: raw_step donates its inputs
-    p0 = jax.tree.map(jnp.copy, params)
-    o0 = jax.tree.map(jnp.copy, opt_state)
-    probe_po = jax.jit(lambda c: jnp.sum(
-        jax.tree.leaves(c[0])[0].astype(jnp.float32)))
-    time_chain("full train step", full_step, probe_po, (p0, o0),
-               steps=args.steps)
-
-    # --- loss fwd + REAL bwd (grad tree fully consumed), chained ---
+    # --- model loss: forward only, then forward+real backward ---
     def loss_of(p):
         return model.apply({"params": p}, batch, method="loss")
 
-    @jax.jit
-    def fwd_bwd(carry):
-        p, acc = carry
-        loss, grads = jax.value_and_grad(loss_of)(p)
-        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
-        return (p, acc + loss + 0.0 * gsum)
+    timeit("loss fwd only", jax.jit(
+        lambda p: loss_of(p).astype(jnp.float32)), params, steps=args.steps)
+    timeit("loss fwd+bwd (real)", grad_probe(loss_of), params,
+           steps=args.steps)
 
-    probe_acc = lambda c: c[1]
-    time_chain("loss fwd+bwd (real)", fwd_bwd, probe_acc,
-               (params, jnp.float32(0)), steps=args.steps)
-
-    # --- loss fwd only, chained via accumulated scalar ---
-    @jax.jit
-    def fwd_only(carry):
-        p, acc = carry
-        return (p, acc + loss_of(p))
-
-    time_chain("loss fwd only", fwd_only, probe_acc,
-               (params, jnp.float32(0)), steps=args.steps)
-
-    # --- fwd+bwd with conv gradient cut (stop_gradient after convs) ---
-    from speech_tpu.ops import rnn as rnn_ops
+    # --- same with the conv gradient cut out (isolates conv backward) ---
     from speech_tpu.models.encoder import conv_out_lengths
+    from speech_tpu.ops import rnn as rnn_ops
+    from speech_tpu.ops.ctc import ctc_loss_auto
 
     def conv_apply(p, x):
         x = x.astype(dtype)[..., None]
-        for i in range(len(model.encoder.conv)):
+        for i, (out_c, kh, kw, s) in enumerate(model.encoder.conv):
             cp = p["enc"][f"Conv_{i}"]
-            s = model.encoder.conv[i][3]
             x = jax.lax.conv_general_dilated(
                 x, cp["kernel"].astype(dtype), (s, s), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cp["bias"].astype(dtype)
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+                + cp["bias"].astype(dtype)
             x = jax.nn.relu(x)
         b, t, f, c = x.shape
         return x.reshape(b, t, f * c)
@@ -143,57 +147,30 @@ def main():
         half = x.shape[-1] // 2
         return x[..., :half] + x[..., half:]
 
-    from speech_tpu.ops.ctc import ctc_loss_auto
-
-    def head_loss(p, enc, lens):
-        fc = p["fc"]
-        logits = (enc @ fc["kernel"].astype(dtype) + fc["bias"].astype(dtype))
-        return ctc_loss_auto(logits.astype(jnp.float32), lens,
-                             batch["labels"], batch["label_lengths"]).mean()
-
     lens_out = conv_out_lengths(model.encoder.conv, batch["input_lengths"])
 
-    def loss_nocvgrad(p):
+    def head_loss(p, enc):
+        fc = p["fc"]
+        logits = enc @ fc["kernel"].astype(dtype) + fc["bias"].astype(dtype)
+        return ctc_loss_auto(logits.astype(jnp.float32), lens_out,
+                             batch["labels"], batch["label_lengths"]).mean()
+
+    def loss_conv_cut(p):
         enc = jax.lax.stop_gradient(conv_apply(p, batch["inputs"]))
-        x = gru_stack_apply(p, enc, lens_out)
-        return head_loss(p, x, lens_out)
+        return head_loss(p, gru_stack_apply(p, enc, lens_out))
 
-    @jax.jit
-    def fwd_bwd_nocv(carry):
-        p, acc = carry
-        loss, grads = jax.value_and_grad(loss_nocvgrad)(p)
-        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
-        return (p, acc + loss + 0.0 * gsum)
+    timeit("fwd+bwd, conv grad cut", grad_probe(loss_conv_cut), params,
+           steps=args.steps)
 
-    time_chain("fwd+bwd, conv grad cut", fwd_bwd_nocv, probe_acc,
-               (params, jnp.float32(0)), steps=args.steps)
+    # --- conv stack alone ---
+    timeit("conv stack fwd", jax.jit(
+        lambda p: jnp.sum(conv_apply(p, batch["inputs"]).astype(jnp.float32))),
+        params, steps=args.steps)
+    timeit("conv stack fwd+bwd", grad_probe(
+        lambda p: jnp.sum(conv_apply(p, batch["inputs"]).astype(jnp.float32))),
+        params, steps=args.steps)
 
-    # --- conv fwd alone / conv fwd+bwd alone, chained via input nudge ---
-    x_in = batch["inputs"]
-
-    @jax.jit
-    def conv_fwd(carry):
-        x, acc = carry
-        out = conv_apply(params, x)
-        s = jnp.sum(out.astype(jnp.float32))
-        return (x + 0.0 * s, acc + s)
-
-    time_chain("conv stack fwd", conv_fwd, probe_acc,
-               (x_in, jnp.float32(0)), steps=args.steps)
-
-    @jax.jit
-    def conv_fwd_bwd(carry):
-        x, acc = carry
-        def f(p):
-            return jnp.sum(conv_apply(p, x).astype(jnp.float32))
-        s, grads = jax.value_and_grad(f)(params)
-        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
-        return (x + 0.0 * s, acc + s + 0.0 * gsum)
-
-    time_chain("conv stack fwd+bwd", conv_fwd_bwd, probe_acc,
-               (x_in, jnp.float32(0)), steps=args.steps)
-
-    # --- GRU stack fwd / fwd+bwd on conv-shaped activations ---
+    # --- GRU stack alone (on conv-shaped activations) ---
     t_out = model.conv_out_size(args.frames, 0)
     f_out = model.conv_out_size(_Spec.input_dim, 1)
     c_out = model.encoder.conv[-1][0]
@@ -201,54 +178,43 @@ def main():
         rng.standard_normal((args.batch, t_out, f_out * c_out)), dtype))
     glens = jnp.full((args.batch,), t_out, jnp.int32)
 
-    @jax.jit
-    def gru_fwd(carry):
-        x, acc = carry
-        out = gru_stack_apply(params, x, glens)
-        s = jnp.sum(out.astype(jnp.float32))
-        return (x + 0.0 * s.astype(x.dtype), acc + s)
+    timeit("gru stack fwd", jax.jit(
+        lambda p: jnp.sum(gru_stack_apply(p, gin, glens).astype(jnp.float32))),
+        params, steps=args.steps)
+    timeit("gru stack fwd+bwd", grad_probe(
+        lambda p: jnp.sum(gru_stack_apply(p, gin, glens).astype(jnp.float32))),
+        params, steps=args.steps)
 
-    time_chain("gru stack fwd", gru_fwd, probe_acc,
-               (gin, jnp.float32(0)), steps=args.steps)
+    # one bidir GRU layer, pallas vs pure scan
+    g0 = params["enc"]["gru_1"]
+    w1 = [jnp.stack([g0["fwd_wi"], g0["bwd_wi"]]),
+          jnp.stack([g0["fwd_bi"], g0["bwd_bi"]]),
+          jnp.stack([g0["fwd_wh"], g0["bwd_wh"]]),
+          jnp.stack([g0["fwd_bh"], g0["bwd_bh"]])]
+    gin2 = jax.device_put(jnp.asarray(
+        rng.standard_normal((args.batch, t_out, 1024)), dtype))
+    for impl in ("pallas", "pure"):
+        timeit(f"gru layer fwd ({impl})", jax.jit(
+            lambda x, im=impl: jnp.sum(rnn_ops.gru_sequence_bidir(
+                x, glens, *w1, impl=im).astype(jnp.float32))),
+            gin2, steps=args.steps)
+        timeit(f"gru layer fwd+bwd ({impl})", grad_probe(
+            lambda x, im=impl: jnp.sum(rnn_ops.gru_sequence_bidir(
+                x, glens, *w1, impl=im).astype(jnp.float32))),
+            gin2, steps=args.steps)
 
-    @jax.jit
-    def gru_fwd_bwd(carry):
-        x, acc = carry
-        def f(p):
-            return jnp.sum(gru_stack_apply(p, x, glens).astype(jnp.float32))
-        s, grads = jax.value_and_grad(f)(params)
-        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
-        return (x + 0.0 * s.astype(x.dtype), acc + s + 0.0 * gsum)
-
-    time_chain("gru stack fwd+bwd", gru_fwd_bwd, probe_acc,
-               (gin, jnp.float32(0)), steps=args.steps)
-
-    # --- CTC loss fwd / fwd+bwd on random logits ---
+    # --- CTC loss alone ---
     logits = jax.device_put(jnp.asarray(rng.standard_normal(
         (args.batch, t_out, _Spec.vocab_size + 1)), jnp.float32))
-    llens = jnp.full((args.batch,), t_out, jnp.int32)
 
-    @jax.jit
-    def ctc_fwd(carry):
-        lg, acc = carry
-        s = ctc_loss_auto(lg, llens, batch["labels"],
-                          batch["label_lengths"]).mean()
-        return (lg + 0.0 * s, acc + s)
-
-    time_chain("ctc loss fwd", ctc_fwd, probe_acc,
-               (logits, jnp.float32(0)), steps=args.steps)
-
-    @jax.jit
-    def ctc_fwd_bwd(carry):
-        lg, acc = carry
-        s, g = jax.value_and_grad(
-            lambda l: ctc_loss_auto(l, llens, batch["labels"],
-                                    batch["label_lengths"]).mean())(lg)
-        return (lg + 0.0 * s + 0.0 * g.astype(lg.dtype) * 0.0,
-                acc + s + 0.0 * jnp.sum(g))
-
-    time_chain("ctc loss fwd+bwd", ctc_fwd_bwd, probe_acc,
-               (logits, jnp.float32(0)), steps=args.steps)
+    timeit("ctc loss fwd", jax.jit(
+        lambda lg: ctc_loss_auto(lg, glens, batch["labels"],
+                                 batch["label_lengths"]).mean()),
+        logits, steps=args.steps)
+    timeit("ctc loss fwd+bwd", grad_probe(
+        lambda lg: ctc_loss_auto(lg, glens, batch["labels"],
+                                 batch["label_lengths"]).mean()),
+        logits, steps=args.steps)
 
 
 if __name__ == "__main__":
