@@ -68,6 +68,32 @@ def conv_out_lengths(conv: Sequence[Sequence[int]], lengths: jax.Array) -> jax.A
     return jnp.maximum(lengths, 0)
 
 
+class EncoderConv(nn.Module):
+    """One VALID conv layer in the MXU-friendly freq-unfold formulation
+    (ops/conv.py). Parameter names/shapes match flax ``nn.Conv`` ("kernel"
+    (kh, kw, c_in, c_out), "bias" (c_out,)), so checkpoints are identical
+    across formulations and the streaming/seq-parallel paths (which build
+    convs from the same params) stay interchangeable."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from speech_tpu.ops.conv import encoder_conv
+
+        y = encoder_conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                         self.stride)
+        return y + bias.astype(self.dtype)
+
+
 class GRULayer(nn.Module):
     """One (optionally bidirectional) GRU layer over a padded batch."""
 
@@ -115,9 +141,9 @@ class Encoder(nn.Module):
         """
         cfg = self.config
         x = x.astype(self.dtype)[..., None]  # (B, T, F, 1)
-        for out_c, kh, kw, s in cfg.conv:
-            x = nn.Conv(out_c, (kh, kw), strides=(s, s), padding="VALID",
-                        dtype=self.dtype)(x)
+        for i, (out_c, kh, kw, s) in enumerate(cfg.conv):
+            x = EncoderConv(out_c, (kh, kw), s, dtype=self.dtype,
+                            name=f"Conv_{i}")(x)
             x = nn.relu(x)
             if cfg.dropout > 0:
                 x = nn.Dropout(cfg.dropout, deterministic=not train)(x)

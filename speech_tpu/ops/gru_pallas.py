@@ -110,10 +110,14 @@ def _bwd_kernel(k_dirs, batch, hidden, tb, x_proj_ref, hs_prev_ref, g_ref,
         dz = g_tot * (h_prev - n) * z * (1.0 - z)
         dr = dn * hn_pre * r * (1.0 - r)
 
-        dxp_ref[j, :, :hidden] = dr
-        dxp_ref[j, :, hidden:2 * hidden] = dz
-        dxp_ref[j, :, 2 * hidden:] = dn
-        r_ref[j] = r
+        # residuals in the activation dtype: in bf16 training this halves
+        # the kernel's dominant HBM write traffic (dxp is 3x the state size);
+        # dx_proj is cast to the activation dtype on return anyway, and the
+        # weight-grad matmuls accumulate in f32 from bf16 inputs.
+        dxp_ref[j, :, :hidden] = dr.astype(dxp_ref.dtype)
+        dxp_ref[j, :, hidden:2 * hidden] = dz.astype(dxp_ref.dtype)
+        dxp_ref[j, :, 2 * hidden:] = dn.astype(dxp_ref.dtype)
+        r_ref[j] = r.astype(r_ref.dtype)
 
         # dh_prev = g*z + dhp @ wh^T, with dhp = [dr, dz, dn*r]
         dhp_n = dn * r
@@ -157,10 +161,13 @@ def gru_seq_pallas(x_proj, h0, wh, bh, k_dirs: int = 1,
     return hs
 
 
-def _pick_tb(t: int, per_step_bytes: int, budget: int) -> int:
+def _pick_tb(t: int, per_step_bytes: int, budget: int, cap: int = 32) -> int:
     """Timesteps per grid step, bounded by a VMEM budget for the per-step
-    blocks (Mosaic double-buffers them, so headroom matters)."""
-    tb = max(1, min(8, budget // max(per_step_bytes, 1)))
+    blocks (Mosaic double-buffers them, so headroom matters). Larger blocks
+    amortize per-grid-step overhead — the sequential recurrence's latency
+    floor — so the budget is sized to use a real fraction of the ~128 MB
+    VMEM, not a token amount."""
+    tb = max(1, min(cap, budget // max(per_step_bytes, 1)))
     return min(tb, t)
 
 
@@ -176,7 +183,10 @@ def _gru_fwd(x_proj, h0, wh, bh, k_dirs, interpret):
     hidden = three_h // 3
     batch = n // k_dirs
     itemsize = jnp.dtype(x_proj.dtype).itemsize
-    tb = _pick_tb(t, n * (three_h + hidden) * itemsize, 4 * 1024 * 1024)
+    # cap 8: the kernel body unrolls tb x (2 matmuls + gate math) — beyond
+    # ~8 the (remote) Mosaic compile cost outgrows the grid-overhead savings
+    tb = _pick_tb(t, n * (three_h + hidden) * itemsize, 16 * 1024 * 1024,
+                  cap=8)
     t_pad = -(-t // tb) * tb
     nb = t_pad // tb
     kern = functools.partial(_fwd_kernel, k_dirs, batch, hidden, tb)
@@ -197,6 +207,8 @@ def _gru_fwd(x_proj, h0, wh, bh, k_dirs, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, n, hidden), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(_pad_time(x_proj, t_pad), h0, wh, bh)
     hs = hs[:t]
@@ -210,11 +222,13 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
     batch = n // k_dirs
     hs_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]], axis=0)
 
+    res_dtype = x_proj.dtype  # residual outputs ride the activation dtype
     in_size = jnp.dtype(x_proj.dtype).itemsize
     g_size = jnp.dtype(g.dtype).itemsize
-    per_step = (n * three_h * (in_size + 4)  # x_proj in + dxp out (f32)
-                + n * hidden * (in_size + g_size + 4))  # hs_prev, g, r out
-    tb = _pick_tb(t, per_step, 6 * 1024 * 1024)
+    r_size = jnp.dtype(res_dtype).itemsize
+    per_step = (n * three_h * (in_size + r_size)  # x_proj in + dxp out
+                + n * hidden * (in_size + g_size + r_size))  # hs_prev, g, r
+    tb = _pick_tb(t, per_step, 12 * 1024 * 1024, cap=8)
     t_pad = -(-t // tb) * tb
     nb = t_pad // tb
 
@@ -239,24 +253,28 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, n, three_h), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, n, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, n, three_h), res_dtype),
+            jax.ShapeDtypeStruct((t_pad, n, hidden), res_dtype),
             jax.ShapeDtypeStruct((n, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(_pad_time(x_proj, t_pad), _pad_time(hs_prev, t_pad),
       _pad_time(g, t_pad), wh, bh)
     dxp, r_all = dxp[:t], r_all[:t]
 
-    # Weight/bias grads: big MXU matmuls in XLA over the whole (T, N) extent.
+    # Weight/bias grads: big MXU matmuls in XLA over the whole (T, N) extent,
+    # bf16 inputs with f32 accumulation.
     # dhp = [dr, dz, dn * r]; dx_proj = dxp (x_proj enters gates additively).
     dhp = jnp.concatenate(
         [dxp[..., :2 * hidden], dxp[..., 2 * hidden:] * r_all], axis=-1)
-    hs_prev_k = _split_dirs(hs_prev.astype(jnp.float32), k_dirs, batch)
+    hs_prev_k = _split_dirs(hs_prev, k_dirs, batch)
     dhp_k = _split_dirs(dhp, k_dirs, batch)
-    dwh = jnp.einsum("tkbh,tkbj->khj", hs_prev_k, dhp_k)
-    dbh = jnp.sum(dhp_k, axis=(0, 2))
+    dwh = jnp.einsum("tkbh,tkbj->khj", hs_prev_k, dhp_k,
+                     preferred_element_type=jnp.float32)
+    dbh = jnp.sum(dhp_k.astype(jnp.float32), axis=(0, 2))
     return (dxp.astype(x_proj.dtype), dh0.astype(h0.dtype),
             dwh.astype(wh.dtype), dbh.astype(bh.dtype))
 
