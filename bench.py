@@ -76,7 +76,10 @@ HW_PEAK_TFLOPS = {
 def main():
     cfg = dict(FLAGSHIP_MODEL_CFG, dtype=DTYPE)
     model = build_model(cfg, _Spec())
-    tx = make_optimizer({"learning_rate": 0.001, "momentum": 0.9})
+    # fused: single-vector optimizer update (trainer.fuse_optimizer) — the
+    # per-leaf chain cost ~15 ms/step on this step (BASELINE.md breakdown)
+    tx = make_optimizer({"learning_rate": 0.001, "momentum": 0.9,
+                         "fused": True})
     rng = np.random.default_rng(0)
     batch = _fake_batch(rng, b=BATCH, t=FRAMES, u=LABELS, vocab=_Spec.vocab_size)
 

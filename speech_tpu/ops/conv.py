@@ -25,6 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _unfold_freq(x: jax.Array, kw: int, stride: int) -> jax.Array:
+    """(B, T, F, C) -> (B, T, F', kw*C): strided windows over frequency."""
+    f = x.shape[2]
+    f_out = (f - kw) // stride + 1
+    idx = jnp.arange(f_out)[:, None] * stride + jnp.arange(kw)[None, :]
+    u = x[:, :, idx, :]  # (B, T, F', kw, C)
+    return u.reshape(x.shape[0], x.shape[1], f_out, kw * x.shape[-1])
+
+
 def conv_unfold_freq(x: jax.Array, kernel: jax.Array, stride: int
                      ) -> jax.Array:
     """VALID 2-D conv with stride in both dims, as freq-unfold + time conv.
@@ -37,12 +46,7 @@ def conv_unfold_freq(x: jax.Array, kernel: jax.Array, stride: int
     Returns (B, T', F', C_out), identical to lax.conv_general_dilated VALID.
     """
     kh, kw, c_in, c_out = kernel.shape
-    f = x.shape[2]
-    f_out = (f - kw) // stride + 1
-    # (B, T, F, C) -> (B, T, F', kw*C): strided windows over frequency
-    idx = jnp.arange(f_out)[:, None] * stride + jnp.arange(kw)[None, :]
-    u = x[:, :, idx, :]  # (B, T, F', kw, C)
-    u = u.reshape(x.shape[0], x.shape[1], f_out, kw * c_in)
+    u = _unfold_freq(x, kw, stride)
     ku = kernel.reshape(kh, 1, kw * c_in, c_out)
     return jax.lax.conv_general_dilated(
         u, ku, (stride, 1), "VALID",
@@ -97,9 +101,20 @@ def _cmdx_fwd(x, kernel, stride):
 
 def _cmdx_bwd(stride, res, g):
     x, kernel = res
+    kh, kw, c_in, c_out = kernel.shape
     dx = _conv_dx_manual(g, kernel, stride, x.shape[1], x.shape[2])
-    _, pullback = jax.vjp(lambda k: conv_xla(x, k, stride), kernel)
-    (dk,) = pullback(g)
+    # Kernel grad through the UNFOLDED formulation: materializing the freq
+    # windows once (pure data movement) turns the kernel-grad conv into the
+    # (kh,1)/C_in=kw*c_in shape XLA handles at ~2x the speed of the 2-D one
+    # (tools/perf_conv2.py: 23 -> ~14 ms on the flagship layer 2).
+    u = _unfold_freq(x, kw, stride)
+    ku = kernel.reshape(kh, 1, kw * c_in, c_out)
+    _, pullback = jax.vjp(
+        lambda k: jax.lax.conv_general_dilated(
+            u, k, (stride, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), ku)
+    (dku,) = pullback(g)
+    dk = dku.reshape(kh, kw, c_in, c_out)
     return dx.astype(x.dtype), dk.astype(kernel.dtype)
 
 

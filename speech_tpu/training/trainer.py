@@ -81,7 +81,36 @@ def make_optimizer(opt_cfg: dict) -> optax.GradientTransformation:
         opt = optax.sgd(lr, momentum=momentum if momentum else None)
     else:
         raise ValueError(f"unknown optimizer {name!r}; have sgd, adam")
-    return optax.chain(optax.clip_by_global_norm(clip), opt)
+    tx = optax.chain(optax.clip_by_global_norm(clip), opt)
+    if opt_cfg.get("fused", False):
+        tx = fuse_optimizer(tx)
+    return tx
+
+
+def fuse_optimizer(tx: optax.GradientTransformation
+                   ) -> optax.GradientTransformation:
+    """Run an optax transformation over ONE raveled vector instead of the
+    param tree (config ``optimizer.fused: true``).
+
+    The per-leaf update emits ~5 elementwise passes over each of the ~26
+    parameter leaves; on a v5e the flagship step spent ~15 ms there against
+    a <1 ms HBM-bandwidth roofline (BASELINE.md breakdown). Flattening turns
+    it into a handful of full-width vector ops. The optimizer state becomes a
+    single vector (checkpoints remain self-consistent per config; don't flip
+    this flag mid-run on a resumed optimizer state)."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(flat)
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        flat_p = ravel_pytree(params)[0] if params is not None else None
+        flat_u, state = tx.update(flat_g, state, flat_p)
+        return unravel(flat_u), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_train_step(model, tx, frontend: Optional[Callable] = None) -> Callable:

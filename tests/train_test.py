@@ -190,3 +190,27 @@ def test_overfit_small(tiny_corpus, tmp_path):
     losses = [r["value"] for r in recs if r["name"] == "train_loss"]
     assert losses[-1] < 0.1 * losses[0]
     assert summary["best_dev_cer"] < 0.1
+
+
+def test_fused_optimizer_matches_unfused():
+    """optimizer.fused=true: identical updates to the per-leaf chain."""
+    import jax
+    import jax.numpy as jnp
+    from speech_tpu.training.trainer import make_optimizer
+
+    cfg = {"learning_rate": 0.05, "momentum": 0.9, "grad_clip": 1.0}
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    grads = jax.tree.map(lambda x: x * 0.3 + 1.0, params)
+    tx = make_optimizer(cfg)
+    txf = make_optimizer(dict(cfg, fused=True))
+    s, sf = tx.init(params), txf.init(params)
+    p1, p2 = params, params
+    for _ in range(3):
+        u, s = tx.update(grads, s, p1)
+        import optax
+        p1 = optax.apply_updates(p1, u)
+        uf, sf = txf.update(grads, sf, p2)
+        p2 = optax.apply_updates(p2, uf)
+    for l1, l2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-6, atol=1e-6)
