@@ -40,6 +40,7 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import zlib
 
 import numpy as np
 
@@ -325,7 +326,10 @@ def generate_split(out_dir, name, speaker_seeds, utts_per_speaker, seed,
     for si, ss in enumerate(speaker_seeds):
         for u in range(utts_per_speaker):
             wav = os.path.join(wav_dir, f"{name}_s{si:03d}_u{u:03d}.wav")
-            tasks.append((hash((seed, name, si, u)) & 0x7FFFFFFF, ss, wav))
+            # zlib.crc32, not hash(): str hashing is salted per process
+            # (PYTHONHASHSEED), which would make the corpus unreproducible.
+            key = f"{seed}:{name}:{si}:{u}".encode()
+            tasks.append((zlib.crc32(key) & 0x7FFFFFFF, ss, wav))
     if workers > 1:
         with mp.Pool(workers) as pool:
             rows = pool.map(_gen_one, tasks, chunksize=8)
