@@ -164,14 +164,19 @@ class Loader:
 
     def _sample_rate(self) -> int:
         """Probe (and cache) the corpus sample rate from one audio header
-        (RIFF or NIST SPHERE — utils/wave dispatches by magic)."""
+        (RIFF, NIST SPHERE, or FLAC — utils/wave dispatches by magic)."""
         sr = getattr(self, "_sr", None)
         if sr is None:
             from speech_tpu.utils import wave as stw
 
             first = self.dataset.data[0]["audio"]
-            if stw._sniff(first) == "sphere":
+            kind = stw._sniff(first)
+            if kind == "sphere":
                 _, sr = stw._read_sphere(first, header_only=True)
+            elif kind == "flac":
+                from speech_tpu.utils.flac import flac_info
+
+                sr = flac_info(first)["sample_rate"]
             else:
                 import wave as wave_mod
 

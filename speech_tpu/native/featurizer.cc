@@ -28,6 +28,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "flac_core.h"  // FLAC corpora (LibriSpeech) decode in-pipeline
+
 namespace {
 
 using cd = std::complex<double>;
@@ -341,10 +343,42 @@ bool read_wav_header(FILE* f, WavInfo* info) {
   return false;
 }
 
-// Reads a wav into mono float64 (int16-valued, channel-averaged). Returns
-// number of frames or a negative error code.
+// True when the file starts with the FLAC stream magic.
+bool is_flac_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[4] = {0};
+  size_t got = fread(magic, 1, 4, f);
+  fclose(f);
+  return got == 4 && memcmp(magic, "fLaC", 4) == 0;
+}
+
+// Decodes a FLAC file into mono float64 (int16-valued, channel-averaged) —
+// the same contract as read_wav_mono, so featurization is container-blind.
+int64_t read_flac_mono(const char* path, std::vector<double>* out,
+                       int* sample_rate) {
+  std::vector<uint8_t> buf;
+  if (flac_core::read_file(path, &buf) != flac_core::OK) return -1;
+  flac_core::StreamInfo si;
+  std::vector<int16_t> pcm;
+  const int64_t n = flac_core::decode_stream(buf.data(), buf.size(), &pcm, &si);
+  if (n < 0) return -2;
+  const int c = si.channels;
+  out->resize((size_t)n);
+  for (int64_t i = 0; i < n; i++) {
+    double acc = 0;
+    for (int k = 0; k < c; k++) acc += (double)pcm[(size_t)(i * c + k)];
+    (*out)[(size_t)i] = acc / c;
+  }
+  *sample_rate = si.sample_rate;
+  return n;
+}
+
+// Reads a wav (or FLAC, dispatched by magic) into mono float64 (int16-valued,
+// channel-averaged). Returns number of frames or a negative error code.
 int64_t read_wav_mono(const char* path, std::vector<double>* out,
                       int* sample_rate) {
+  if (is_flac_file(path)) return read_flac_mono(path, out, sample_rate);
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
@@ -477,8 +511,24 @@ int64_t log_specgram_core(const double* audio, int64_t n_samples,
 
 extern "C" {
 
-// Probe a wav header. Returns 0 on success.
+// Probe an audio header (RIFF wav or FLAC STREAMINFO). Returns 0 on success.
 int stpu_wav_info(const char* path, int* sample_rate, int64_t* n_samples) {
+  if (is_flac_file(path)) {
+    // Header-only probe: STREAMINFO sits in the first metadata block.
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    // STREAMINFO is the mandatory FIRST metadata block: magic(4) +
+    // block header(4) + 34-byte body — 42 bytes is enough.
+    uint8_t head[42];
+    const size_t got = fread(head, 1, sizeof(head), f);
+    fclose(f);
+    if (got < sizeof(head) || (head[4] & 0x7F) != 0) return -2;
+    uint64_t v = 0;
+    for (int i = 18; i < 26; i++) v = (v << 8) | head[i];
+    *sample_rate = (int)(v >> 44);
+    *n_samples = (int64_t)(v & (((uint64_t)1 << 36) - 1));
+    return 0;
+  }
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;

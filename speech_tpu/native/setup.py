@@ -28,6 +28,14 @@ setup(
             extra_compile_args=["-O3", "-std=c++17", "-pthread"],
             extra_link_args=["-pthread"],
         ),
+        # FLAC decoder (C-ABI via ctypes, see flacdec.py): reads LibriSpeech
+        # in place with no external conversion tools.
+        Extension(
+            "_flacdec",
+            sources=[os.path.join(here, "flacdec.cc")],
+            language="c++",
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
     script_args=["build_ext", "--inplace", f"--build-lib={here}", f"--build-temp={os.path.join(here, 'build')}"],
 )

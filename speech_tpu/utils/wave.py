@@ -6,12 +6,13 @@ samples plus the sample rate; ``wav_duration`` (reference wave.py:12-16)
 probes the duration in seconds without reading the payload.
 
 The reference uses ``soundfile`` (libsndfile); here we parse the containers
-directly: RIFF/WAVE via the stdlib ``wave`` module, and NIST SPHERE (TIMIT's
-native container) via its ASCII header — so the TIMIT recipe can read the
-corpus in place, like libsndfile does, with no prior conversion. Compressed
-payloads (FLAC files, shorten-embedded SPHERE as shipped in WSJ) still need
-one up-front conversion (utils/convert.py / sph2pipe), matching the recipes'
-existing flow.
+directly: RIFF/WAVE via the stdlib ``wave`` module, NIST SPHERE (TIMIT's
+native container) via its ASCII header, and FLAC (LibriSpeech's container)
+via the native C++ decoder in speech_tpu/native/flacdec.cc (pure-Python
+fallback in utils/flac.py) — so TIMIT and LibriSpeech can be read in place,
+like libsndfile does, with no prior conversion. Shorten-embedded SPHERE (as
+shipped in WSJ) still needs one up-front sph2pipe conversion, matching the
+recipe's existing flow.
 """
 
 from __future__ import annotations
@@ -110,9 +111,15 @@ def array_from_wave(file_name: str) -> tuple[np.ndarray, int]:
         audio, rate = _read_sphere(file_name)
         return audio, rate
     if kind == "flac":
-        raise ValueError(
-            f"{file_name}: FLAC needs one up-front conversion to wav "
-            "(utils/convert.py / the LibriSpeech recipe's preprocess step)")
+        # Native C++ decoder when built (speech_tpu/native/flacdec.cc),
+        # pure-Python fallback otherwise — so the LibriSpeech corpus is
+        # readable in place, like the reference's soundfile path
+        # (reference wave.py:8-10), with no conversion tools.
+        from speech_tpu.native import flacdec
+        if flacdec.available():
+            return flacdec.read_flac(file_name)
+        from speech_tpu.utils.flac import read_flac
+        return read_flac(file_name)
     with _wave.open(file_name, "rb") as wf:
         n_channels = wf.getnchannels()
         sample_width = wf.getsampwidth()
@@ -135,7 +142,12 @@ def array_from_wave(file_name: str) -> tuple[np.ndarray, int]:
 
 def wav_duration(file_name: str) -> float:
     """Duration of an audio file in seconds, from the header only."""
-    if _sniff(file_name) == "sphere":
+    kind = _sniff(file_name)
+    if kind == "flac":
+        from speech_tpu.utils.flac import flac_info
+        info = flac_info(file_name)
+        return info["total_samples"] / float(info["sample_rate"])
+    if kind == "sphere":
         with open(file_name, "rb") as f:
             f.readline()
             header_size = int(f.readline().strip())
