@@ -20,6 +20,7 @@ c_out) layout, so checkpoints are interchangeable across impls.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -121,28 +122,70 @@ def _cmdx_bwd(stride, res, g):
 conv_manual_dx.defvjp(_cmdx_fwd, _cmdx_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_pallas_grads(x: jax.Array, kernel: jax.Array, stride: int,
+                      interpret: bool = False) -> jax.Array:
+    """XLA conv forward + Pallas kernel-grad + XLA input-grad.
+
+    The forward emitter is fine on these shapes; the KERNEL grad is the
+    emitter that collapses. dk runs as ONE tiled Pallas matmul
+    (ops/conv_pallas.py); dx stays on XLA's input-grad emitter (measured
+    at parity with the manual forward-style conv on the flagship shapes).
+    """
+    return conv_xla(x, kernel, stride)
+
+
+def _cpg_fwd(x, kernel, stride, interpret):
+    return conv_xla(x, kernel, stride), (x, kernel)
+
+
+def _cpg_bwd(stride, interpret, res, g):
+    from speech_tpu.ops.conv_pallas import conv_kernel_grad_pallas
+
+    x, kernel = res
+    kh, kw, _, _ = kernel.shape
+    # dx through XLA's own input-grad emitter (measured at parity with the
+    # manual forward-style conv on the flagship shapes; the KERNEL grad is
+    # the emitter that collapses).
+    _, pullback = jax.vjp(lambda xx: conv_xla(xx, kernel, stride), x)
+    (dx,) = pullback(g)
+    dk = conv_kernel_grad_pallas(x, g, kh, kw, stride, interpret=interpret)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+conv_pallas_grads.defvjp(_cpg_fwd, _cpg_bwd)
+
+
 def encoder_conv(x: jax.Array, kernel: jax.Array, stride: int,
                  impl: str = "auto") -> jax.Array:
     """Dispatch the encoder conv formulation.
 
     "auto" on TPU: C_in == 1 layers (the feature-input layer) run the unfold
     formulation — its forward is cheaper AND every gradient is well-shaped;
-    C_in > 1 layers keep the XLA forward (the unfold's 21x materialization
-    loses there) with the manual-dx custom VJP. Off-TPU: plain conv (the
-    gather is slower on CPU and the emitters are fine).
+    C_in > 1 layers keep the XLA forward with the manual-dx custom VJP.
+    ``SPEECH_TPU_CONV_IMPL`` overrides the C_in > 1 stride-1 choice (e.g.
+    ``pallas_grads`` routes the kernel-grad through the Pallas matmul
+    spelling in ops/conv_pallas.py — measured 2.2x the XLA kernel-grad
+    emitter in isolation on the flagship inner layer, but see the module
+    doc there for the in-graph caveat). Off-TPU: plain conv (the emitters
+    are fine there, and the Pallas kernel targets Mosaic).
     """
     if impl == "auto":
         if jax.devices()[0].platform != "tpu":
             impl = "xla"
         elif x.shape[-1] == 1:
             impl = "unfold"
+        elif stride == 1:
+            impl = os.environ.get("SPEECH_TPU_CONV_IMPL", "manual_dx")
         else:
             impl = "manual_dx"
+    if impl == "pallas_grads":
+        return conv_pallas_grads(x, kernel, stride)
     if impl == "unfold":
         return conv_unfold_freq(x, kernel, stride)
     if impl == "xla":
         return conv_xla(x, kernel, stride)
     if impl == "manual_dx":
         return conv_manual_dx(x, kernel, stride)
-    raise ValueError(
-        f"unknown conv impl {impl!r}; have auto, unfold, xla, manual_dx")
+    raise ValueError(f"unknown conv impl {impl!r}; have auto, pallas_grads, "
+                     "unfold, xla, manual_dx")

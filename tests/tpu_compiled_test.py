@@ -116,3 +116,28 @@ def test_rnnt_compiled_forward_and_grad():
         lp, t_lens, labels, u_lens, blank=v).sum())(log_probs)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Conv kernel-grad kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv_kernel_grad_compiled(stride):
+    from speech_tpu.ops.conv import conv_xla
+    from speech_tpu.ops.conv_pallas import conv_kernel_grad_pallas
+
+    rng = np.random.default_rng(0)
+    b, t, f, ci, kh, kw, co = 4, 100, 41, (1 if stride == 2 else 8), 5, 9, 32
+    x = jnp.asarray(rng.standard_normal((b, t, f, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kh, kw, ci, co)) * 0.1, jnp.float32)
+    out = conv_xla(x, k, stride)
+    g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+
+    _, pullback = jax.vjp(lambda kk: conv_xla(x, kk, stride), k)
+    (dk_ref,) = pullback(g)
+    dk = jax.jit(lambda xx, gg: conv_kernel_grad_pallas(
+        xx, gg, kh, kw, stride))(x, g)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-3, atol=1e-3)
