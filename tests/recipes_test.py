@@ -130,14 +130,27 @@ def test_librispeech_tree(tmp_path):
     with open(os.path.join(d, "84-121123.trans.txt"), "w") as f:
         f.write("84-121123-0000 HELLO WORLD\n84-121123-0001 SECOND LINE\n")
     sr = 16000
+    # The real corpus ships FLAC; manifests point at it in place (the
+    # reference converted to wav first — our pipeline decodes FLAC natively).
+    from flac_ref_encoder import encode_flac
+
     for utt in ["84-121123-0000", "84-121123-0001"]:
-        write_wave(os.path.join(d, utt + ".wav"),
-                   np.zeros(sr, np.int16), sr)
+        with open(os.path.join(d, utt + ".flac"), "wb") as f:
+            f.write(encode_flac(np.zeros(sr, np.int64), sr, mode="constant"))
     out = librispeech.build_json(split)
     rows = [json.loads(l) for l in open(out)]
     assert len(rows) == 2
     assert rows[0]["text"] == "hello world"
     assert rows[0]["duration"] == 1.0
     assert os.path.exists(rows[0]["audio"])
+    assert rows[0]["audio"].endswith(".flac")
     assert librispeech.path_from_key("84-121123-0000", split, "wav").endswith(
         "84/121123/84-121123-0000.wav")
+
+    # --convert_wav keeps the reference's wav flow.
+    for utt in ["84-121123-0000", "84-121123-0001"]:
+        write_wave(os.path.join(d, utt + ".wav"),
+                   np.zeros(sr, np.int16), sr)
+    out = librispeech.build_json(split, ext="wav")
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 2 and rows[0]["audio"].endswith(".wav")
