@@ -19,18 +19,102 @@ reference's ranking.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _NEG = -1e30
 
+# Hoisted jitted programs, one per (model, beam_size, max_len); jax.jit's
+# cache then keys on bucket shapes (make_infer_step discipline — a second
+# same-shape batch spends zero trace/compile time).
+_RUNNERS: dict = {}
+
+
+def _get_runner(model, beam_size: int, max_len: int):
+    key = (id(model), beam_size, max_len)
+    entry = _RUNNERS.get(key)
+    if entry is not None and entry[0] is model:
+        return entry[1]
+    run = _build_runner(model, beam_size, max_len)
+    _RUNNERS[key] = (model, run)
+    return run
+
 
 def _tile_beam(x: jax.Array, k: int) -> jax.Array:
     """(B, ...) -> (B*K, ...) by repeating each row K times."""
     return jnp.repeat(x, k, axis=0)
+
+
+def _build_runner(model, beam_size: int, max_len: int):
+    """Build the jitted encode + beam-search program for one config."""
+    k = beam_size
+    v_out = model.vocab_size - 1
+    end = model.end_idx
+    start = model.start_idx
+
+    @jax.jit
+    def run(params, inputs, input_lengths):
+        eh, out_lens, mask = model.apply({"params": params}, inputs,
+                                         input_lengths, method="encode")
+        b, t, h = eh.shape
+
+        eh_k = _tile_beam(eh, k)
+        mask_k = _tile_beam(mask, k)
+
+        state = model.apply({"params": params}, eh_k, method="init_state")
+        y = jnp.full((b * k,), start, jnp.int32)
+        scores = jnp.full((b, k), _NEG).at[:, 0].set(0.0)
+        done = jnp.zeros((b, k), bool)
+        tokens = jnp.full((b, k, max_len), end, jnp.int32)
+
+        def gather_state(state, src):
+            """Reindex each (B*K, ...) state leaf by per-batch beam sources."""
+            flat_src = (jnp.arange(b)[:, None] * k + src).reshape(-1)  # (B*K,)
+            hx, ax, sx, ti = state
+            return (hx[flat_src], ax[flat_src], sx[flat_src], ti)
+
+        def step(carry, t_step):
+            state, y, scores, done, tokens = carry
+            logits, new_state = model.apply({"params": params}, eh_k, mask_k,
+                                            y, state, method="decode_step")
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            logp = logp.reshape(b, k, v_out)
+            # finished beams: only </s> continuation, at zero cost
+            end_only = jnp.full((v_out,), _NEG).at[end].set(0.0)
+            logp = jnp.where(done[..., None], end_only[None, None, :], logp)
+
+            cand = (scores[..., None] + logp).reshape(b, k * v_out)
+            new_scores, idx = jax.lax.top_k(cand, k)
+            src = idx // v_out
+            sym = (idx % v_out).astype(jnp.int32)
+
+            new_state = gather_state(new_state, src)
+            new_done = jnp.take_along_axis(done, src, axis=1) | (sym == end)
+            new_tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
+            pos = jnp.arange(max_len)[None, None, :] == t_step
+            write = ~jnp.take_along_axis(done, src, axis=1)  # don't write past </s>
+            new_tokens = jnp.where(pos & write[..., None], sym[..., None],
+                                   new_tokens)
+            return (new_state, sym.reshape(-1), new_scores, new_done,
+                    new_tokens), None
+
+        carry = (state, y, scores, done, tokens)
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(max_len))
+        _, _, scores, done, tokens = carry
+
+        # prefer finished hypotheses; fall back to best unfinished if none
+        penalized = jnp.where(done, scores, scores - 1e15)
+        best = jnp.argmax(jnp.where(done.any(1, keepdims=True), penalized,
+                                    scores), axis=1)
+        best_tokens = jnp.take_along_axis(tokens, best[:, None, None],
+                                          axis=1)[:, 0]
+        best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+        start_col = jnp.full((b, 1), start, jnp.int32)
+        out = jnp.concatenate([start_col, best_tokens], axis=1)
+        return out, best_scores
+
+    return run
 
 
 def seq2seq_beam_search(model, params, batch: dict, beam_size: int = 10,
@@ -39,65 +123,6 @@ def seq2seq_beam_search(model, params, batch: dict, beam_size: int = 10,
 
     Positions after each hypothesis's </s> are </s>-filled.
     """
-    eh, out_lens, mask = model.apply({"params": params}, batch["inputs"],
-                                     batch["input_lengths"], method="encode")
-    b, t, h = eh.shape
-    k = beam_size
-    v_out = model.vocab_size - 1
-    end = model.end_idx
-    start = model.start_idx
-
-    eh_k = _tile_beam(eh, k)
-    mask_k = _tile_beam(mask, k)
-
-    state = model.apply({"params": params}, eh_k, method="init_state")
-    y = jnp.full((b * k,), start, jnp.int32)
-    scores = jnp.full((b, k), _NEG).at[:, 0].set(0.0)
-    done = jnp.zeros((b, k), bool)
-    tokens = jnp.full((b, k, max_len), end, jnp.int32)
-
-    def gather_state(state, src):
-        """Reindex each (B*K, ...) state leaf by per-batch beam sources."""
-        flat_src = (jnp.arange(b)[:, None] * k + src).reshape(-1)  # (B*K,)
-        hx, ax, sx, ti = state
-        return (hx[flat_src], ax[flat_src], sx[flat_src], ti)
-
-    @functools.partial(jax.jit, static_argnames=())
-    def step(carry, t_step):
-        state, y, scores, done, tokens = carry
-        logits, new_state = model.apply({"params": params}, eh_k, mask_k, y,
-                                        state, method="decode_step")
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        logp = logp.reshape(b, k, v_out)
-        # finished beams: only </s> continuation, at zero cost
-        end_only = jnp.full((v_out,), _NEG).at[end].set(0.0)
-        logp = jnp.where(done[..., None], end_only[None, None, :], logp)
-
-        cand = (scores[..., None] + logp).reshape(b, k * v_out)
-        new_scores, idx = jax.lax.top_k(cand, k)
-        src = idx // v_out
-        sym = (idx % v_out).astype(jnp.int32)
-
-        new_state = gather_state(new_state, src)
-        new_done = jnp.take_along_axis(done, src, axis=1) | (sym == end)
-        new_tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
-        pos = jnp.arange(max_len)[None, None, :] == t_step
-        write = ~jnp.take_along_axis(done, src, axis=1)  # don't write past </s>
-        new_tokens = jnp.where(pos & write[..., None], sym[..., None],
-                               new_tokens)
-        return (new_state, sym.reshape(-1), new_scores, new_done, new_tokens), None
-
-    carry = (state, y, scores, done, tokens)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_len))
-    _, _, scores, done, tokens = carry
-
-    # prefer finished hypotheses; fall back to best unfinished if none finished
-    penalized = jnp.where(done, scores, scores - 1e15)
-    best = jnp.argmax(jnp.where(done.any(1, keepdims=True), penalized, scores),
-                      axis=1)
-    best_tokens = jnp.take_along_axis(tokens, best[:, None, None],
-                                      axis=1)[:, 0]
-    best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
-    start_col = jnp.full((b, 1), start, jnp.int32)
-    out = jnp.concatenate([start_col, best_tokens], axis=1)
+    run = _get_runner(model, beam_size, max_len)
+    out, best_scores = run(params, batch["inputs"], batch["input_lengths"])
     return np.asarray(out), np.asarray(best_scores)

@@ -154,7 +154,7 @@ def make_eval_step(model, max_len: int = 200,
         @jax.jit
         def step(params, batch):
             batch = fe(batch)
-            return model.apply({"params": params}, batch,
+            return model.apply({"params": params}, batch, max_out=max_len,
                                method="eval_outputs")
     elif isinstance(model, Seq2SeqModel):
         @jax.jit
@@ -267,7 +267,8 @@ def make_infer_step(model, max_len: int = 200,
     if isinstance(model, TransducerModel):
         @jax.jit
         def step(params, batch):
-            return model.apply({"params": params}, fe(batch), method="greedy")
+            return model.apply({"params": params}, fe(batch),
+                               max_out=max_len, method="greedy")
     elif isinstance(model, Seq2SeqModel):
         @jax.jit
         def step(params, batch):
@@ -299,9 +300,10 @@ def infer_batch(model, params, batch, max_len: int = 200,
             from speech_tpu.decode.rnnt_beam import rnnt_beam_search
 
             preds, _ = rnnt_beam_search(model, params, batch,
-                                        beam_size=beam_size)
+                                        beam_size=beam_size, max_out=max_len)
             return preds
-        out = model.apply({"params": params}, batch, method="greedy")
+        out = model.apply({"params": params}, batch, max_out=max_len,
+                          method="greedy")
         return postprocess_decoded(model, out)
     if isinstance(model, Seq2SeqModel):
         if beam_size > 0:
@@ -354,6 +356,13 @@ def eval_dev(model, params, loader: Loader, preproc: Preprocessor,
     return avg_loss, cer
 
 
+def opt_layout_tag(opt_cfg: dict) -> str:
+    """Layout tag persisted with the opt state so a resume can assert the
+    ``optimizer.fused`` flag didn't flip (fused = one raveled vector, tree =
+    per-leaf optax state — restoring one into the other corrupts the run)."""
+    return "fused" if opt_cfg.get("fused", False) else "tree"
+
+
 def save_checkpoint_synced(save_path: str, params, opt_state, preproc,
                            config: dict, *, step: int, epoch: int,
                            best_so_far: float, is_best: bool) -> None:
@@ -367,7 +376,9 @@ def save_checkpoint_synced(save_path: str, params, opt_state, preproc,
     if jax.process_index() == 0:
         ckpt.save_train_state(save_path, jax.device_get(params),
                               jax.device_get(opt_state), preproc, config,
-                              step=step, epoch=epoch, best_so_far=best_so_far)
+                              step=step, epoch=epoch, best_so_far=best_so_far,
+                              opt_layout=opt_layout_tag(
+                                  config.get("optimizer", {})))
         if is_best:
             from speech_tpu.utils import io as model_io
 
@@ -464,7 +475,8 @@ def run(config: dict, resume: bool = False, verbose: bool = True) -> dict:
 
     start_epoch, it, best_so_far = 0, 0, float("inf")
     if resume and ckpt.has_train_state(save_path):
-        params, opt_state, state = ckpt.restore_train_state(save_path, opt_state)
+        params, opt_state, state = ckpt.restore_train_state(
+            save_path, opt_state, expect_opt_layout=opt_layout_tag(opt_cfg))
         start_epoch = state["epoch"] + 1
         it = state["step"]
         best_so_far = state["best_so_far"]
