@@ -57,7 +57,8 @@ def run(model_path: str, dataset_json: str, batch_size: int = 8,
 
         if beam_size != 0:
             raise NotImplementedError("--n-seq currently decodes greedily")
-        infer_step = make_seq_infer_step(model, make_seq_mesh(n_seq))
+        infer_step = make_seq_infer_step(model, make_seq_mesh(n_seq),
+                                         max_len=max_len)
     else:
         infer_step = (make_infer_step(model, max_len=max_len)
                       if beam_size == 0 else None)

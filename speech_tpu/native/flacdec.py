@@ -79,14 +79,22 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
     info = flac_info(path)
     ch = info["channels"]
     # Headroom beyond STREAMINFO's total: a stream whose last frame is padded
-    # (or whose total is unset, = 0) still decodes; we truncate after.
+    # (or whose total is unset, = 0) still decodes; we truncate after. A
+    # total_samples == 0 stream (legal: "unknown") has no size bound from the
+    # header, so grow the buffer and retry on capacity errors — matching the
+    # pure-Python decoder's unbounded decode.
     cap_frames = (info["total_samples"] or 1 << 22) + 65536
-    out = np.zeros((cap_frames, ch), dtype=np.int16)
-    sr = ctypes.c_int(0)
-    nch = ctypes.c_int(0)
-    n = lib.stpu_flac_read(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        out.size, ctypes.byref(sr), ctypes.byref(nch))
+    while True:
+        out = np.zeros((cap_frames, ch), dtype=np.int16)
+        sr = ctypes.c_int(0)
+        nch = ctypes.c_int(0)
+        n = lib.stpu_flac_read(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.size, ctypes.byref(sr), ctypes.byref(nch))
+        if n == -5 and info["total_samples"] == 0 and cap_frames < 1 << 31:
+            cap_frames *= 2
+            continue
+        break
     if n < 0:
         raise IOError(f"{path}: {_ERRORS.get(int(n), n)}")
     audio = out[:n]

@@ -144,11 +144,10 @@ def _cpg_bwd(stride, interpret, res, g):
 
     x, kernel = res
     kh, kw, _, _ = kernel.shape
-    # dx through XLA's own input-grad emitter (measured at parity with the
-    # manual forward-style conv on the flagship shapes; the KERNEL grad is
-    # the emitter that collapses).
-    _, pullback = jax.vjp(lambda xx: conv_xla(xx, kernel, stride), x)
-    (dx,) = pullback(g)
+    # dx as the explicit forward-style conv (measured at parity with XLA's
+    # input-grad emitter on the flagship shapes, without re-tracing the
+    # primal through jax.vjp; the KERNEL grad is the emitter that collapses).
+    dx = _conv_dx_manual(g, kernel, stride, x.shape[1], x.shape[2])
     dk = conv_kernel_grad_pallas(x, g, kh, kw, stride, interpret=interpret)
     return dx.astype(x.dtype), dk.astype(kernel.dtype)
 

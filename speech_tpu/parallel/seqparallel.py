@@ -373,29 +373,36 @@ def seq_padded_time(t: int, n_seq: int, conv: Sequence[Sequence[int]]) -> int:
         tp += mult
 
 
-def make_seq_infer_step(model, mesh: Mesh):
-    """Jitted log-probs over a time-sharded mesh for a CTC model — the
-    config-drivable sequence-parallel inference path (SURVEY §5.7; reachable
-    from ``eval.py --n-seq N`` / config ``parallel.n_seq``).
+def make_seq_infer_step(model, mesh: Mesh, max_len: int = 200):
+    """Jitted sequence-parallel inference: the ENCODER runs with its time
+    axis sharded over the ``seq`` mesh axis (the memory-bound part — conv
+    halo exchange + wavefront BiGRU), and each family's decoder consumes the
+    encoder output unsharded (label-axis decoders are sequential and tiny
+    next to the encoder). SURVEY §5.7; reachable from ``eval.py --n-seq N``
+    / config ``parallel.n_seq`` for ALL THREE families:
 
-    Returns ``step(params, batch) -> (log_probs (B, T'', V+1), lengths)``
-    matching ``CTCModel.log_probs`` at every valid frame; inputs are zero-
-    padded on the time axis to the sharding-compatible length (padding is
-    masked per utterance inside the wavefront).
+      * CTC: returns ``(log_probs (B, T'', V+1), lengths)`` matching
+        ``CTCModel.log_probs`` at every valid frame.
+      * Seq2Seq: returns greedy tokens ``(B, max_len+1)`` exactly matching
+        ``Seq2SeqModel.greedy`` (the attention mask excludes the sharding
+        pad rows, which are zero and beyond every utterance's length).
+      * Transducer: returns greedy tokens ``(B, max_len)`` matching
+        ``TransducerModel.greedy`` (pad frames are skipped by the
+        per-frame length mask).
+
+    Inputs are zero-padded on the time axis to the sharding-compatible
+    length (padding is masked per utterance inside the wavefront). Outputs
+    feed ``trainer.postprocess_decoded`` like the unsharded infer step.
     """
     from speech_tpu.models.ctc_model import CTCModel
     from speech_tpu.models.encoder import conv_out_lengths
+    from speech_tpu.models.seq2seq import Seq2SeqModel
+    from speech_tpu.models.transducer import TransducerModel
 
-    if not isinstance(model, CTCModel):
-        raise NotImplementedError(
-            "sequence-parallel inference is implemented for CTC models; "
-            "seq2seq/transducer decoders are sequential over labels and use "
-            "the unsharded path")
     cfg = model.encoder
     n_seq = mesh.shape["seq"]
 
-    @jax.jit
-    def step(params, batch):
+    def sharded_encode(params, batch):
         x = batch["inputs"]
         lens = batch["input_lengths"]
         t_pad = seq_padded_time(x.shape[1], n_seq, cfg.conv)
@@ -403,10 +410,34 @@ def make_seq_infer_step(model, mesh: Mesh):
             x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
         eh = encoder_seq_sharded(mesh, params["enc"], cfg, x,
                                  input_lengths=lens)
-        fc = params["fc"]
-        logits = eh.astype(jnp.float32) @ fc["kernel"].astype(jnp.float32) \
-            + fc["bias"].astype(jnp.float32)
-        out_lens = conv_out_lengths(cfg.conv, lens)
-        return jax.nn.log_softmax(logits, axis=-1), out_lens
+        return eh, conv_out_lengths(cfg.conv, lens)
+
+    if isinstance(model, Seq2SeqModel):
+        @jax.jit
+        def step(params, batch):
+            eh, out_lens = sharded_encode(params, batch)
+            eh = eh.astype(model.dtype)
+            mask = jnp.arange(eh.shape[1])[None, :] < out_lens[:, None]
+            return model.apply({"params": params}, eh, mask, max_len,
+                               method="_greedy_from")
+    elif isinstance(model, TransducerModel):
+        @jax.jit
+        def step(params, batch):
+            eh, out_lens = sharded_encode(params, batch)
+            return model.apply({"params": params}, eh.astype(model.dtype),
+                               out_lens, max_out=max_len,
+                               method="_greedy_from")
+    elif isinstance(model, CTCModel):
+        @jax.jit
+        def step(params, batch):
+            eh, out_lens = sharded_encode(params, batch)
+            fc = params["fc"]
+            logits = eh.astype(jnp.float32) @ fc["kernel"].astype(jnp.float32) \
+                + fc["bias"].astype(jnp.float32)
+            return jax.nn.log_softmax(logits, axis=-1), out_lens
+    else:
+        raise NotImplementedError(
+            f"sequence-parallel inference: unknown model family "
+            f"{type(model).__name__}")
 
     return step

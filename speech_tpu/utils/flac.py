@@ -253,11 +253,18 @@ def _parse_streaminfo(data: bytes) -> tuple[dict, int]:
     pos = 4
     info = None
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata (block header past EOF)")
         hdr = data[pos]
         btype = hdr & 0x7F
         length = int.from_bytes(data[pos + 1:pos + 4], "big")
+        if pos + 4 + length > len(data):
+            raise ValueError("truncated FLAC metadata (block body past EOF)")
         body = data[pos + 4:pos + 4 + length]
         if btype == 0:  # STREAMINFO
+            if length < 18:
+                raise ValueError(
+                    f"truncated FLAC STREAMINFO block ({length} bytes < 18)")
             v = int.from_bytes(body[10:18], "big")
             info = {
                 "sample_rate": v >> 44,
@@ -274,10 +281,41 @@ def _parse_streaminfo(data: bytes) -> tuple[dict, int]:
 
 
 def flac_info(file_name: str) -> dict:
-    """STREAMINFO fields: sample_rate, channels, bits, total_samples."""
+    """STREAMINFO fields: sample_rate, channels, bits, total_samples.
+
+    Walks the metadata chain by block headers (seeking over bodies), so
+    streams with large metadata (e.g. embedded artwork beyond any fixed head
+    size) parse fine and truncated metadata raises a clear ValueError."""
     with open(file_name, "rb") as f:
-        head = f.read(65536)
-    info, _ = _parse_streaminfo(head)
+        if f.read(4) != b"fLaC":
+            raise ValueError(f"{file_name}: not a FLAC stream "
+                             "(missing fLaC magic)")
+        info = None
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                raise ValueError(f"{file_name}: truncated FLAC metadata "
+                                 "(block header past EOF)")
+            btype = hdr[0] & 0x7F
+            length = int.from_bytes(hdr[1:4], "big")
+            if btype == 0:  # STREAMINFO
+                body = f.read(length)
+                if len(body) < 18:
+                    raise ValueError(f"{file_name}: truncated FLAC "
+                                     "STREAMINFO block")
+                v = int.from_bytes(body[10:18], "big")
+                info = {
+                    "sample_rate": v >> 44,
+                    "channels": ((v >> 41) & 0x7) + 1,
+                    "bits": ((v >> 36) & 0x1F) + 1,
+                    "total_samples": v & ((1 << 36) - 1),
+                }
+            else:
+                f.seek(length, 1)
+            if hdr[0] & 0x80:  # last-metadata-block flag
+                break
+    if info is None:
+        raise ValueError(f"{file_name}: FLAC stream has no STREAMINFO block")
     return info
 
 

@@ -146,6 +146,13 @@ def wav_duration(file_name: str) -> float:
     if kind == "flac":
         from speech_tpu.utils.flac import flac_info
         info = flac_info(file_name)
+        if info["total_samples"] == 0:
+            # Legal "unknown length" streams would yield duration 0.0 and
+            # silently corrupt manifest durations/bucketing; require a real
+            # header total (decode-to-count is available via array_from_wave).
+            raise ValueError(
+                f"{file_name}: FLAC STREAMINFO total_samples is 0 (unknown "
+                "length); cannot derive duration from the header")
         return info["total_samples"] / float(info["sample_rate"])
     if kind == "sphere":
         with open(file_name, "rb") as f:

@@ -5,6 +5,13 @@ decoder — exact PCM equality in both.
 The reference reads FLAC via soundfile (reference speech/utils/wave.py:8-10);
 this framework decodes the container itself so the LibriSpeech recipe needs
 no external conversion tools.
+
+Known limitation of this suite: conformance is established by round-tripping
+the in-repo test encoder, so a MATCHED encoder/decoder misreading of the spec
+would pass. The ideal pin — a committed libFLAC-encoded fixture with expected
+PCM — cannot be generated on this machine (no libFLAC, soundfile, ffmpeg, or
+flac binary; zero egress). If a real fixture becomes available, add it here
+and assert both decoders reproduce its PCM exactly.
 """
 
 import os
@@ -96,6 +103,79 @@ def test_flac_info_and_duration(tmp_path):
     assert info["bits"] == 16
     assert info["total_samples"] == 1600
     assert wav_util.wav_duration(path) == pytest.approx(0.1)
+
+
+def test_truncated_metadata_clear_error(tmp_path):
+    """Truncated/corrupt metadata raises ValueError with a clear message in
+    the PURE-PYTHON path too (not a bare IndexError) — the fallback
+    configuration is exactly the one the fallback exists for."""
+    s = _signal(400)
+    data = encode_flac(s, 16000)
+    for cut in (5, 7, 20):  # mid block header / mid STREAMINFO body
+        path = str(tmp_path / f"cut{cut}.flac")
+        with open(path, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(ValueError, match="[Tt]runcated"):
+            pyflac.flac_info(path)
+        with pytest.raises(ValueError, match="[Tt]runcated"):
+            pyflac.read_flac(path)
+    # zero-length STREAMINFO (the wave_test corrupt fixture): clear error
+    path = str(tmp_path / "zero.flac")
+    with open(path, "wb") as f:
+        f.write(b"fLaC" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        pyflac.read_flac(path)
+
+
+def _splice_padding(data: bytes, pad_len: int) -> bytes:
+    """Insert a PADDING metadata block after STREAMINFO (clearing its
+    last-metadata flag)."""
+    si_len = int.from_bytes(data[5:8], "big")
+    end = 8 + si_len
+    head = bytearray(data[:end])
+    head[4] &= 0x7F  # STREAMINFO is no longer the last metadata block
+    pad = bytes([0x81]) + pad_len.to_bytes(3, "big") + b"\x00" * pad_len
+    return bytes(head) + pad + data[end:]
+
+
+def test_flac_info_large_metadata(tmp_path):
+    """Metadata beyond any fixed head size (e.g. embedded artwork) parses:
+    flac_info walks block headers incrementally instead of reading a 64 KiB
+    prefix."""
+    s = _signal(800, seed=11)
+    data = _splice_padding(encode_flac(s, 16000), 90_000)  # > 64 KiB
+    path = str(tmp_path / "bigmeta.flac")
+    with open(path, "wb") as f:
+        f.write(data)
+    info = pyflac.flac_info(path)
+    assert info["total_samples"] == 800
+    audio, rate = pyflac.read_flac(path)
+    assert rate == 16000
+    np.testing.assert_array_equal(audio, s.astype(np.int16))
+
+
+def test_unknown_total_samples(tmp_path):
+    """total_samples == 0 is legal ("unknown"): decoding works (both
+    decoders, the native one growing its buffer), while header-only duration
+    raises a clear error instead of reporting 0.0 s."""
+    s = _signal(700, seed=12)
+    data = bytearray(encode_flac(s, 16000))
+    si_len = int.from_bytes(data[5:8], "big")
+    body = data[8:8 + si_len]
+    v = int.from_bytes(body[10:18], "big") & ~((1 << 36) - 1)
+    data[8 + 10:8 + 18] = v.to_bytes(8, "big")
+    path = str(tmp_path / "unk.flac")
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+    assert pyflac.flac_info(path)["total_samples"] == 0
+    audio, _ = pyflac.read_flac(path)
+    np.testing.assert_array_equal(audio, s.astype(np.int16))
+    with pytest.raises(ValueError, match="total_samples"):
+        wav_util.wav_duration(path)
+    from speech_tpu.native import flacdec as native
+    if native.available():
+        na, _ = native.read_flac(path)
+        np.testing.assert_array_equal(na, s.astype(np.int16))
 
 
 def test_array_from_wave_dispatches_flac(tmp_path):

@@ -212,3 +212,76 @@ def test_make_seq_infer_step_matches_log_probs(mesh):
         np.testing.assert_allclose(np.asarray(lp[i, :n]),
                                    np.asarray(ref_lp[i, :n]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def _sp_batch(rng, t=50, input_dim=20):
+    batch = {
+        "inputs": jnp.asarray(rng.standard_normal((3, t, input_dim)),
+                              jnp.float32),
+        "input_lengths": jnp.asarray([50, 33, 12], jnp.int32),
+        "labels": jnp.zeros((3, 4), jnp.int32),
+        "label_lengths": jnp.full((3,), 4, jnp.int32),
+    }
+    batch["inputs"] = jnp.where(
+        jnp.arange(t)[None, :, None] < batch["input_lengths"][:, None, None],
+        batch["inputs"], 0)
+    return batch
+
+
+def test_make_seq_infer_step_seq2seq_matches_greedy(mesh):
+    """SP extension (VERDICT r4 #10): the seq-sharded encoder feeds the
+    unsharded seq2seq attention decoder; greedy tokens match the fully
+    unsharded path exactly."""
+    from speech_tpu.models import build_model
+
+    class _Pre:
+        input_dim = 20
+        vocab_size = 8  # includes <s>/</s>
+
+    cfg = {
+        "class": "Seq2Seq",
+        "encoder": {
+            "conv": [[3, 5, 9, 2]],
+            "rnn": {"dim": 8, "layers": 2, "bidirectional": True},
+        },
+        "decoder": {"embedding_dim": 8},
+    }
+    model = build_model(cfg, _Pre())
+    rng = np.random.default_rng(10)
+    batch = _sp_batch(rng)
+    from speech_tpu.training.trainer import init_params
+
+    params = init_params(model, 20, jax.random.PRNGKey(1))
+    ref = model.apply({"params": params}, batch, 24, method="greedy")
+    step = sp.make_seq_infer_step(model, mesh, max_len=24)
+    out = step(params, batch)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_make_seq_infer_step_transducer_matches_greedy(mesh):
+    """SP extension (VERDICT r4 #10): seq-sharded encoder + unsharded
+    transducer prediction/joint greedy decode, exact parity."""
+    from speech_tpu.models import build_model
+
+    class _Pre:
+        input_dim = 20
+        vocab_size = 6
+
+    cfg = {
+        "class": "Transducer",
+        "encoder": {
+            "conv": [[3, 5, 9, 2]],
+            "rnn": {"dim": 8, "layers": 2, "bidirectional": True},
+        },
+        "decoder": {"embedding_dim": 8},
+    }
+    model = build_model(cfg, _Pre())
+    rng = np.random.default_rng(11)
+    batch = _sp_batch(rng)
+    from speech_tpu.training.trainer import init_params
+
+    params = init_params(model, 20, jax.random.PRNGKey(2))
+    ref = model.apply({"params": params}, batch, max_out=24, method="greedy")
+    step = sp.make_seq_infer_step(model, mesh, max_len=24)
+    out = step(params, batch)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
