@@ -89,8 +89,9 @@ def _fwd_kernel(k_dirs, batch, hidden, tb, x_proj_ref, h0_ref, wh_ref, bh_ref,
     h_buf[:, :] = h
 
 
-def _bwd_kernel(k_dirs, batch, hidden, tb, x_proj_ref, hs_prev_ref, g_ref,
-                wh_ref, bh_ref, dxp_ref, r_ref, dh0_ref, dh_buf):
+def _bwd_kernel(k_dirs, batch, hidden, tb, dhp_scratch, x_proj_ref,
+                hs_prev_ref, g_ref, wh_ref, bh_ref, dxp_ref, r_ref, dh0_ref,
+                dh_buf, dhp_buf):
     i = pl.program_id(0)
 
     @pl.when(i == 0)  # first reverse block holds t = T-1
@@ -121,16 +122,34 @@ def _bwd_kernel(k_dirs, batch, hidden, tb, x_proj_ref, hs_prev_ref, g_ref,
 
         # dh_prev = g*z + dhp @ wh^T, with dhp = [dr, dz, dn*r]
         dhp_n = dn * r
-        dh_new_parts = []
-        for k in range(k_dirs):
-            sl = slice(k * batch, (k + 1) * batch)
-            dhp_k = jnp.concatenate(
-                [dr[sl], dz[sl], dhp_n[sl]], axis=1).astype(wh_ref.dtype)
-            # contract dhp (B, 3H) with wh (H, 3H) on 3H == dhp @ wh^T
-            dh_k = jax.lax.dot_general(
-                dhp_k, wh_ref[k], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dh_new_parts.append(dh_k)
+        if dhp_scratch:
+            # Stage dhp through VMEM stores at lane-aligned column offsets
+            # instead of a lane-axis concat inside the sequential loop
+            # (Mosaic relayouts lane concats; stores it handles natively —
+            # the same trade the conv kernel's u_buf makes).
+            dhp_buf[:, :hidden] = dr.astype(dhp_buf.dtype)
+            dhp_buf[:, hidden:2 * hidden] = dz.astype(dhp_buf.dtype)
+            dhp_buf[:, 2 * hidden:] = dhp_n.astype(dhp_buf.dtype)
+            dh_new_parts = []
+            for k in range(k_dirs):
+                sl = slice(k * batch, (k + 1) * batch)
+                dh_k = jax.lax.dot_general(
+                    dhp_buf[sl, :], wh_ref[k],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh_new_parts.append(dh_k)
+        else:
+            dh_new_parts = []
+            for k in range(k_dirs):
+                sl = slice(k * batch, (k + 1) * batch)
+                dhp_k = jnp.concatenate(
+                    [dr[sl], dz[sl], dhp_n[sl]], axis=1).astype(wh_ref.dtype)
+                # contract dhp (B, 3H) with wh (H, 3H) on 3H == dhp @ wh^T
+                dh_k = jax.lax.dot_general(
+                    dhp_k, wh_ref[k],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh_new_parts.append(dh_k)
         dh_w = (jnp.concatenate(dh_new_parts, axis=0) if k_dirs > 1
                 else dh_new_parts[0])
         dh = g_tot * z + dh_w
@@ -233,7 +252,11 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
     nb = t_pad // tb
 
     rev3 = lambda i: (nb - 1 - i, 0, 0)
-    kern = functools.partial(_bwd_kernel, k_dirs, batch, hidden, tb)
+    import os
+
+    dhp_scratch = os.environ.get("SPEECH_TPU_GRU_DHP", "scratch") == "scratch"
+    kern = functools.partial(_bwd_kernel, k_dirs, batch, hidden, tb,
+                             dhp_scratch)
     dxp, r_all, dh0 = pl.pallas_call(
         kern,
         grid=(nb,),
@@ -257,7 +280,8 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
             jax.ShapeDtypeStruct((t_pad, n, hidden), res_dtype),
             jax.ShapeDtypeStruct((n, hidden), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32),
+                        pltpu.VMEM((n, three_h), wh.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

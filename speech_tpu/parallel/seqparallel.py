@@ -373,6 +373,63 @@ def seq_padded_time(t: int, n_seq: int, conv: Sequence[Sequence[int]]) -> int:
         tp += mult
 
 
+def make_seq_train_step(model, tx, mesh: Mesh):
+    """Jitted sequence-parallel TRAINING step for a CTC model: the encoder
+    runs time-sharded over the ``seq`` mesh axis (activations are the memory
+    bottleneck for long audio — each device holds T/n of every conv/GRU
+    activation, in forward AND backward), the head + CTC loss run on the
+    gathered (B, T', H) encoder output (tiny next to the input), and
+    gradients flow back through the halo-exchange convs and wavefront GRUs
+    (``shard_map``/``ppermute`` are reverse-differentiable; the replicated
+    weights' gradients are psum'd across shards by shard_map's transpose).
+
+    Returns ``step(params, opt_state, batch) -> (params, opt_state, loss)``.
+    Matches the unsharded train step's gradients exactly at every valid
+    frame (tests/seqparallel_test.py::test_make_seq_train_step_matches).
+    Note: the SP path applies no encoder dropout (the wavefront kernels are
+    deterministic); for the long-audio regime it targets, batch sizes are
+    small and dropout is usually off.
+    """
+    import optax
+
+    from speech_tpu.models.ctc_model import CTCModel
+    from speech_tpu.models.encoder import conv_out_lengths
+    from speech_tpu.ops.ctc import ctc_loss_mean
+
+    if not isinstance(model, CTCModel):
+        raise NotImplementedError(
+            "sequence-parallel training is implemented for the CTC family "
+            "(the flagship long-audio model); seq2seq/transducer training "
+            "is label-synchronous and uses the unsharded or DP/TP paths")
+    cfg = model.encoder
+    n_seq = mesh.shape["seq"]
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(params):
+            x = batch["inputs"]
+            lens = batch["input_lengths"]
+            t_pad = seq_padded_time(x.shape[1], n_seq, cfg.conv)
+            if t_pad != x.shape[1]:
+                x = jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+            eh = encoder_seq_sharded(mesh, params["enc"], cfg, x,
+                                     input_lengths=lens)
+            fc = params["fc"]
+            logits = (eh.astype(jnp.float32)
+                      @ fc["kernel"].astype(jnp.float32)
+                      + fc["bias"].astype(jnp.float32))
+            out_lens = conv_out_lengths(cfg.conv, lens)
+            return ctc_loss_mean(logits, out_lens, batch["labels"],
+                                 batch["label_lengths"], blank=model.blank)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_seq_infer_step(model, mesh: Mesh, max_len: int = 200):
     """Jitted sequence-parallel inference: the ENCODER runs with its time
     axis sharded over the ``seq`` mesh axis (the memory-bound part — conv
