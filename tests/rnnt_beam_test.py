@@ -66,18 +66,59 @@ def viterbi_path_score(model, params, batch, utt, y):
     return alpha[t_len - 1, u] + lp[t_len - 1, u, blank]
 
 
+def _viterbi_scores_batched(model, params, batch, utt, cands):
+    """Best single-alignment log-prob for EVERY candidate label sequence of
+    one utterance, from ONE jitted lattice forward over the whole candidate
+    batch (the per-candidate eager version made this oracle the slowest test
+    in the suite) + a small vectorized numpy DP."""
+    n = len(cands)
+    u_max = max((len(y) for y in cands), default=0) or 1
+    labels = np.zeros((n, u_max), np.int32)
+    for i, y in enumerate(cands):
+        labels[i, : len(y)] = y
+    inputs = np.repeat(batch["inputs"][utt:utt + 1], n, axis=0)
+    lens = np.full((n,), batch["input_lengths"][utt], np.int32)
+    lattice, out_lens = jax.jit(
+        lambda i, l, y: model.apply({"params": params}, i, l, y)
+    )(inputs, lens, labels)
+    lp = np.asarray(lattice, np.float64)  # (N, T, u_max+1, V+1)
+    t_len = int(out_lens[0])
+    blank = model.blank
+    NEG = -np.inf
+    ulen = np.asarray([len(y) for y in cands])
+    alpha = np.full((n, t_len, u_max + 1), NEG)
+    alpha[:, 0, 0] = 0.0
+    for t in range(t_len):
+        for v in range(u_max + 1):
+            if t == 0 and v == 0:
+                continue
+            stay = alpha[:, t - 1, v] + lp[:, t - 1, v, blank] if t > 0 \
+                else np.full(n, NEG)
+            emit = (alpha[:, t, v - 1] + lp[np.arange(n), t, v - 1,
+                                            labels[:, v - 1]]) if v > 0 \
+                else np.full(n, NEG)
+            valid_v = v <= ulen
+            alpha[:, t, v] = np.where(valid_v, np.maximum(stay, emit), NEG)
+    final = alpha[np.arange(n), t_len - 1, ulen] \
+        + lp[np.arange(n), t_len - 1, ulen, blank]
+    return final
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])  # tiered in conftest: [0] slow, rest exhaustive
 def test_beam_matches_exhaustive_viterbi(seed):
     model, params, batch = make_case(seed)
     preds, scores = rnnt_beam_search(model, params, batch, beam_size=16,
                                      max_expand=3, max_out=12)
+    cands = [y for L in range(0, 4)
+             for y in itertools.product(range(VOCAB), repeat=L)]
     for utt in range(batch["inputs"].shape[0]):
-        best_y, best_s = None, -np.inf
-        for L in range(0, 4):
-            for y in itertools.product(range(VOCAB), repeat=L):
-                s = viterbi_path_score(model, params, batch, utt, list(y))
-                if s > best_s:
-                    best_y, best_s = y, s
+        s = _viterbi_scores_batched(model, params, batch, utt, cands)
+        best = int(np.argmax(s))
+        best_y, best_s = cands[best], s[best]
+        # sanity: the batched oracle reproduces the reference per-candidate DP
+        np.testing.assert_allclose(
+            s[best], viterbi_path_score(model, params, batch, utt,
+                                        list(best_y)), rtol=1e-6)
         assert tuple(preds[utt]) == best_y, (utt, preds[utt], best_y)
         np.testing.assert_allclose(scores[utt], best_s, rtol=1e-3, atol=1e-3)
 

@@ -59,20 +59,49 @@ def chain_score(model, params, batch, utt, seq):
     return score
 
 
+def _chain_scores_batched(model, params, batch, utt, cands):
+    """P(seq + </s> | x_utt) for EVERY candidate at once via ONE jitted
+    teacher-forced forward (the per-candidate eager decode_step loop made
+    this oracle the slowest test in the suite). Uses the TEACHER-FORCED path,
+    a different code path than the beam's decode_step — step-vs-batch parity
+    is covered separately by seq2seq_test's golden test."""
+    n = len(cands)
+    u_max = max(len(y) for y in cands) + 2  # <s> ... </s>
+    labels = np.full((n, u_max), END, np.int32)
+    labels[:, 0] = START
+    for i, y in enumerate(cands):
+        labels[i, 1:1 + len(y)] = y
+    inputs = np.repeat(batch["inputs"][utt:utt + 1], n, axis=0)
+    lens = np.full((n,), batch["input_lengths"][utt], np.int32)
+    logits, _ = jax.jit(
+        lambda i, l, y: model.apply({"params": params}, i, l, y)
+    )(inputs, lens, labels)
+    logp = np.asarray(jax.nn.log_softmax(
+        np.asarray(logits, np.float32), -1), np.float64)  # (N, U-1, V-1)
+    ulen = np.asarray([len(y) for y in cands])
+    pos = np.arange(u_max - 1)[None, :]
+    tgt = labels[:, 1:]
+    chain = np.take_along_axis(logp, tgt[..., None], axis=2)[..., 0]
+    # positions 0..len(seq) score seq tokens then </s>; later ones ignored
+    return np.where(pos <= ulen[:, None], chain, 0.0).sum(axis=1)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])  # tiered in conftest: [0] slow, rest exhaustive
 def test_beam_matches_exhaustive(seed):
     model, params, batch = make_case(seed)
     max_len = 4
     out, scores = seq2seq_beam_search(model, params, batch, beam_size=64,
                                       max_len=max_len)
+    cands = [seq for L in range(0, max_len)
+             for seq in itertools.product(range(VOCAB - 2), repeat=L)]
     for utt in range(batch["inputs"].shape[0]):
-        # enumerate all sequences of non-end symbols with length < max_len
-        best_seq, best_score = None, -np.inf
-        for L in range(0, max_len):
-            for seq in itertools.product(range(VOCAB - 2), repeat=L):
-                s = chain_score(model, params, batch, utt, seq)
-                if s > best_score:
-                    best_seq, best_score = seq, s
+        s = _chain_scores_batched(model, params, batch, utt, cands)
+        best = int(np.argmax(s))
+        best_seq, best_score = cands[best], s[best]
+        # sanity: batched oracle == the stepping reference scorer
+        np.testing.assert_allclose(
+            best_score, chain_score(model, params, batch, utt, best_seq),
+            rtol=1e-5, atol=1e-5)
         toks = out[utt].tolist()
         assert toks[0] == START
         hyp = []
