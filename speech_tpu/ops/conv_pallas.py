@@ -26,13 +26,36 @@ well-shaped matmul — ``dk = im2col(x)^T @ g`` — it just needs to be
 Measured status on v5e (2026-08, tunnel protocol, flagship inner layer
 (64,495,61,32) x (11,21,32,32)): the Pallas dk alone runs 11.7 ms vs the
 XLA emitter's 26.3 ms (2.2x), with f32-accumulator accuracy (median rel err
-5e-7 vs the bf16 emitter's 1.4e-3). HOWEVER, composed into the full
-conv-stack backward the surrounding graph currently loses more than the
-kernel saves (the stack probe regressed ~36 ms — suspected layout
-conversions around the pallas_call boundary); ``encoder_conv`` therefore
-keeps it OPT-IN via ``SPEECH_TPU_CONV_IMPL=pallas_grads`` until the glue
-cost is understood. The general-stride im2col spelling measured WORSE than
-the emitter at every probed shape and exists for parity/completeness only.
+5e-7 vs the bf16 emitter's 1.4e-3). HOWEVER, composed into a graph it is a
+net LOSS, and the round-5 bisect (tools/perf_r5.py + HLO inspection)
+identified exactly why — the "glue" is XLA LAYOUT ASSIGNMENT, not the
+pallas_call itself:
+
+  * pallas forces row-major {3,2,1,0} on its operands, while the TPU
+    convolution emitters prefer {3,0,2,1}-family layouts at these
+    small-channel shapes; when both consume the same materialized tensors
+    (x, the cotangent), XLA inserts ~100 MB transposing copies.
+  * with no elementwise producer pinning a layout (l1-unfold feeding l2
+    directly, cotangent of a plain sum), Pallas WINS at stack level:
+    58.6 ms vs 81.5 for the manual-dx VJP. With ReLUs in between, it
+    LOSES: 105.2 vs 74.6 (the copies appear; verified in the compiled HLO:
+    {3,2,1,0}<->{3,0,2,1} copies of the 118/60 MB operands).
+  * fusing the ReLU into the custom VJP (conv_relu_pallas_grads below) does
+    NOT remove the copies (112.4 ms): the operands still materialize in two
+    layout domains. Removing the conv from the backward entirely (Pallas dx
+    too) is the only structural fix, and dx's ci=32 output channels make an
+    MXU-efficient Pallas dx kernel impossible without tap-split lane
+    relayouts (designs explored and rejected in the round-5 notes,
+    BASELINE.md).
+  * FULL MODEL (bench.py): manual_dx 141.9 ms/step vs pallas_grads
+    198.2 ms vs plain-xla 147.0 ms — winners flip between probe and full
+    graph because layout assignment is global; only full-graph numbers
+    decide defaults.
+
+``encoder_conv`` therefore keeps the Pallas path OPT-IN via
+``SPEECH_TPU_CONV_IMPL=pallas_grads``. The general-stride im2col spelling
+measured WORSE than the emitter at every probed shape and exists for
+parity/completeness only.
 
 The forward and input-grad stay on XLA (the forward emitter is fine; the
 input-grad emitter measured at parity with the manual forward-style conv).
@@ -176,6 +199,50 @@ def _kernel_grad_s1_xla(x, g, kh, kw):
     acc = jax.lax.dot_general(u2, g2, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     return acc.reshape(kw, ci, kh, co).transpose(2, 0, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_relu_pallas_grads(x: jax.Array, kernel: jax.Array, stride: int,
+                           interpret: bool = False) -> jax.Array:
+    """Fused VALID conv + ReLU with Pallas kernel-grad (stride-1 path).
+
+    Why fusion matters here: with a bare elementwise ReLU between the conv
+    and its consumers, XLA materializes the conv input/cotangent once in the
+    convolution emitters' preferred layout ({3,0,2,1}-ish on TPU) and once in
+    the row-major layout the pallas_call requires — several ~100 MB
+    transposing copies per step (measured: the l2 layer composed with ReLUs
+    ran 105 ms with the Pallas dk vs 75 ms without it, while WITHOUT the
+    ReLUs Pallas won 59 ms vs 82 — tools/perf_r5.py, round-5 bisect). Fusing
+    the ReLU into this custom VJP keeps the mask-multiply INSIDE the
+    backward, where XLA fuses it into each consumer (the pad feeding the
+    Pallas dk and the transpose-conv dx) instead of materializing a
+    layout-pinned intermediate."""
+    return jnp.maximum(_conv_xla(x, kernel, stride), 0)
+
+
+def _conv_xla(x, kernel, stride):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _crpg_fwd(x, kernel, stride, interpret):
+    y = jnp.maximum(_conv_xla(x, kernel, stride), 0)
+    return y, (x, kernel, y)
+
+
+def _crpg_bwd(stride, interpret, res, g):
+    from speech_tpu.ops.conv import _conv_dx_manual
+
+    x, kernel, y = res
+    kh, kw, _, _ = kernel.shape
+    g = jnp.where(y > 0, g, 0)  # ReLU mask, fused into each consumer below
+    dx = _conv_dx_manual(g, kernel, stride, x.shape[1], x.shape[2])
+    dk = conv_kernel_grad_pallas(x, g, kh, kw, stride, interpret=interpret)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+conv_relu_pallas_grads.defvjp(_crpg_fwd, _crpg_bwd)
 
 
 def conv_kernel_grad_pallas(x: jax.Array, g: jax.Array, kh: int, kw: int,

@@ -63,3 +63,27 @@ def test_conv_pallas_grads_full_vjp():
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk2),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_conv_relu_pallas_grads_full_vjp():
+    """Fused conv+ReLU custom VJP (the round-5 layout-evidence variant)
+    against XLA autodiff of relu(conv)."""
+    from speech_tpu.ops.conv_pallas import conv_relu_pallas_grads
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 31, 23, 4)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((5, 7, 4, 8)) * 0.1, jnp.float32)
+
+    def loss_fused(x, k):
+        return jnp.sum(conv_relu_pallas_grads(x, k, 1, True) ** 2)
+
+    def loss_ref(x, k):
+        return jnp.sum(jax.nn.relu(conv_xla(x, k, 1)) ** 2)
+
+    l1, (dx1, dk1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, k)
+    l2, (dx2, dk2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk2),
+                               rtol=1e-5, atol=1e-4)
