@@ -84,15 +84,18 @@ def load_text(wsj_base: str) -> dict[str, str]:
     return transcripts
 
 
-def load_waves(wsj_base: str, index_files: list[str]) -> list[str]:
-    """Expand .ndx index files into wav paths (reference preprocess.py:53-64)."""
+def load_waves(wsj_base: str, index_files: list[str],
+               ext: str = ".wav") -> list[str]:
+    """Expand .ndx index files into audio paths (reference
+    preprocess.py:53-64). ``ext=".wv1"`` keeps the original
+    embedded-shorten SPHERE files, which utils.wave reads in place."""
     waves = []
     for f in index_files:
         with open(os.path.join(wsj_base, f)) as fid:
             lines = [l for l in fid if l and l[0] != ";"]
         paths = (l.split(":")[1].strip().strip("/") for l in lines)
         paths = (os.path.join(wsj_base, p) for p in paths)
-        paths = (os.path.splitext(p)[0] + ".wav" for p in paths)
+        paths = (os.path.splitext(p)[0] + ext for p in paths)
         waves.extend(sorted(paths))
     return waves
 
@@ -120,12 +123,19 @@ def main():
     parser.add_argument("wsj_base", help="Path where the dataset is stored")
     parser.add_argument("save_path", help="Path to save dataset jsons")
     parser.add_argument("--convert", action="store_true",
-                        help="Convert SPHERE .wv1 to wav first")
+                        help="Convert SPHERE .wv1 to wav first (sph2pipe)")
+    parser.add_argument("--native_sphere", action="store_true",
+                        help="Manifest the original .wv1 embedded-shorten "
+                             "SPHERE files in place (decoded natively by "
+                             "speech_tpu.utils.shorten; no sph2pipe needed)")
     args = parser.parse_args()
+    if args.convert and args.native_sphere:
+        parser.error("--convert and --native_sphere are mutually exclusive")
 
     transcripts = load_text(args.wsj_base)
     for name, index_files in DATASETS.items():
-        waves = load_waves(args.wsj_base, index_files)
+        waves = load_waves(args.wsj_base, index_files,
+                           ext=".wv1" if args.native_sphere else ".wav")
         if args.convert:
             print(f"Converting {name}")
             convert_sph_to_wav(waves)

@@ -1,0 +1,276 @@
+"""Shorten (SHN) v1/v2 lossless audio decoder, pure Python.
+
+WSJ distributes its speech as SPHERE files whose payload is
+"embedded-shorten-v2"-compressed PCM; the reference (and the recipe here,
+until now) shells out to sph2pipe to expand them once up front (reference
+examples/wsj/preprocess.sh:27-33; SURVEY §2.1 #17). This decoder removes
+that external dependency: ``utils.wave.array_from_wave`` can read a
+shorten-compressed SPHERE file in place, completing the "read every corpus
+in place" story alongside the native FLAC (LibriSpeech) and NIST/mu-law
+(TIMIT) readers.
+
+Format (Tony Robinson's shorten, as embedded by NIST/LDC):
+
+  * 4-byte magic ``ajkg`` + 1 version byte (0..2; WSJ uses 2).
+  * The rest is an MSB-first bitstream of Rice-style codes:
+      - ``uvar(k)``: unary count of 0-bits terminated by a 1-bit, then k
+        literal bits: value = count << k | literal.
+      - ``var(k)`` = zigzag-signed ``uvar(k+1)`` (LSB is the sign).
+      - ``ulong`` = ``uvar(uvar(2))``.
+  * Header fields (all ulong): file type, channel count, and for version
+    >= 1: block size, max LPC order, mean-window length ``nmean``, and a
+    skipped-bytes count (each skipped byte coded as uvar(7)).
+  * Then a command stream (uvar(2)): DIFF0..3 / ZERO / QLPC decode one
+    channel block (fixed polynomial predictors of order 0..3, a zero
+    block, or quantized LPC), BLOCKSIZE / BITSHIFT update decoder state,
+    VERBATIM carries original-file header bytes (discarded here, like
+    sph2pipe), QUIT ends the stream.
+  * DIFF0 and QLPC add a running mean offset ``coffset`` derived from the
+    last ``nmean`` block means (version-2 streams store the means
+    left-shifted by the current bitshift and round the offset back down).
+  * Each channel keeps 3 warmup samples wrapped from its previous block,
+    in the PRE-bitshift domain; decoded blocks are left-shifted by
+    ``bitshift`` on output.
+
+Conformance caveat (same as the FLAC pair in this repo): no external SHN
+encoder exists on this machine, so the format is pinned by (a) hand-written
+bit-level vectors in tests/shorten_test.py written directly from the spec
+above and (b) round-trips against the independent test-only encoder in
+tests/shn_ref_encoder.py. If a real sph2pipe/shorten fixture becomes
+available, add it to the tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAGIC = b"ajkg"
+MAX_VERSION = 2
+
+# command codes (shorten.h)
+FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3 = 0, 1, 2, 3
+FN_QUIT, FN_BLOCKSIZE, FN_BITSHIFT, FN_QLPC, FN_ZERO, FN_VERBATIM = \
+    4, 5, 6, 7, 8, 9
+
+# code-size constants (shorten.h)
+FNSIZE = 2
+ENERGYSIZE = 3
+BITSHIFTSIZE = 2
+LPCQSIZE = 2
+LPCQUANT = 5
+XBYTESIZE = 7
+ULONGSIZE = 2
+VERBATIM_CKSIZE_SIZE = 5
+VERBATIM_BYTE_SIZE = 8
+NWRAP = 3
+DEFAULT_BLOCK_SIZE = 256  # version-0 streams have no blocksize field
+
+# file types (shorten.h); sample-to-int16 conversion per type below
+TYPE_AU1, TYPE_S8, TYPE_U8, TYPE_S16HL, TYPE_U16HL, TYPE_S16LH, \
+    TYPE_U16LH, TYPE_ULAW, TYPE_AU2, TYPE_AU3, TYPE_ALAW = range(11)
+
+_SIGNED_16 = (TYPE_S16HL, TYPE_S16LH)
+_UNSIGNED_16 = (TYPE_U16HL, TYPE_U16LH)
+
+
+class _BitReader:
+    """MSB-first bit reader (shorten buffers 32-bit big-endian words and
+    consumes bits from the MSB, which is byte-wise MSB-first)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >= 8 * len(self.data):
+            raise ValueError("truncated shorten stream")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def uvar(self, k: int) -> int:
+        count = 0
+        while not self.bit():
+            count += 1
+            if count > 1 << 20:
+                raise ValueError("malformed shorten stream (runaway unary)")
+        return (count << k) | self.bits(k) if k else count
+
+    def var(self, k: int) -> int:
+        u = self.uvar(k + 1)
+        return -(u >> 1) - 1 if (u & 1) else (u >> 1)
+
+    def ulong(self) -> int:
+        return self.uvar(self.uvar(ULONGSIZE))
+
+
+def _rounded_shift_down(x: int, n: int) -> int:
+    if n == 0:
+        return x
+    return ((x >> (n - 1)) + 1) >> 1
+
+
+def _ulaw_to_int16(u: np.ndarray) -> np.ndarray:
+    from speech_tpu.utils.wave import _ulaw_decode
+
+    return _ulaw_decode(u.astype(np.uint8))
+
+
+def _alaw_to_int16(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> linear int16."""
+    a = a.astype(np.int32) ^ 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    sample = (mantissa << 4) + 8
+    sample = np.where(exponent > 0, (sample + 0x100) << (exponent - 1), sample)
+    return np.where(sign != 0, -sample, sample).astype(np.int16)
+
+
+def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a shorten stream to int16 samples.
+
+    Returns ``(audio, info)``: audio is ``(n,)`` mono or ``(n, nchan)``;
+    info carries ``ftype``, ``nchan``, ``blocksize``, ``nmean``.
+    """
+    if data[:4] != MAGIC:
+        raise ValueError("not a shorten stream (missing ajkg magic)")
+    version = data[4]
+    if not 1 <= version <= MAX_VERSION:
+        # version-0 streams used an off-by-one energy-parameter convention;
+        # nothing NIST/LDC ships is v0, so reject rather than half-support.
+        raise ValueError(f"unsupported shorten version {version}")
+    br = _BitReader(data)
+    br.pos = 5 * 8
+
+    ftype = br.ulong()
+    nchan = br.ulong()
+    if not 1 <= nchan <= 8:
+        raise ValueError(f"implausible shorten channel count {nchan}")
+    blocksize = br.ulong()
+    maxnlpc = br.ulong()
+    nmean = br.ulong()
+    nskip = br.ulong()
+    for _ in range(nskip):
+        br.uvar(XBYTESIZE)
+    nwrap = max(NWRAP, maxnlpc)
+
+    # Per-channel state: warmup samples (pre-bitshift domain) and the last
+    # nmean block means (stored << bitshift for version >= 2). Unsigned
+    # types start centred at the half-range (shorten.c init_offset), so the
+    # first DIFF0/QLPC blocks predict around the midpoint.
+    mean0 = 0x80 if ftype == TYPE_U8 else (
+        0x8000 if ftype in _UNSIGNED_16 else 0)
+    wrap = [[0] * nwrap for _ in range(nchan)]  # warmup starts at zero
+    offsets = [[mean0] * max(nmean, 1) for _ in range(nchan)]
+    bitshift = 0
+    chan = 0
+    out = [[] for _ in range(nchan)]
+
+    while True:
+        cmd = br.uvar(FNSIZE)
+        if cmd == FN_QUIT:
+            break
+        if cmd == FN_BLOCKSIZE:
+            blocksize = br.ulong()
+            continue
+        if cmd == FN_BITSHIFT:
+            bitshift = br.uvar(BITSHIFTSIZE)
+            continue
+        if cmd == FN_VERBATIM:
+            n = br.uvar(VERBATIM_CKSIZE_SIZE)
+            for _ in range(n):
+                br.uvar(VERBATIM_BYTE_SIZE)  # original header bytes; discard
+            continue
+        if cmd not in (FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3, FN_ZERO,
+                       FN_QLPC):
+            raise ValueError(f"malformed shorten stream (command {cmd})")
+
+        # mean offset (duplicated-code comment in shorten.c)
+        if nmean == 0:
+            coffset = offsets[chan][0]
+        else:
+            s = 0 if version < 2 else nmean // 2
+            s += sum(offsets[chan])
+            coffset = (s // nmean if version < 2
+                       else _rounded_shift_down(s // nmean, bitshift))
+
+        buf = wrap[chan] + [0] * blocksize  # buf[nwrap + i] = sample i
+
+        if cmd == FN_ZERO:
+            pass  # already zeros
+        elif cmd == FN_QLPC:
+            resn = br.uvar(ENERGYSIZE)
+            nlpc = br.uvar(LPCQSIZE)
+            qlpc = [br.var(LPCQUANT) for _ in range(nlpc)]
+            if coffset:
+                for i in range(nwrap):
+                    buf[i] -= coffset
+            for i in range(blocksize):
+                acc = 1 << (LPCQUANT - 1)
+                for j in range(nlpc):
+                    acc += qlpc[j] * buf[nwrap + i - j - 1]
+                buf[nwrap + i] = br.var(resn) + (acc >> LPCQUANT)
+            if coffset:
+                for i in range(blocksize):
+                    buf[nwrap + i] += coffset
+        else:
+            resn = br.uvar(ENERGYSIZE)
+            if cmd == FN_DIFF0:
+                for i in range(blocksize):
+                    buf[nwrap + i] = br.var(resn) + coffset
+            elif cmd == FN_DIFF1:
+                for i in range(blocksize):
+                    buf[nwrap + i] = br.var(resn) + buf[nwrap + i - 1]
+            elif cmd == FN_DIFF2:
+                for i in range(blocksize):
+                    buf[nwrap + i] = (br.var(resn) + 2 * buf[nwrap + i - 1]
+                                      - buf[nwrap + i - 2])
+            else:  # FN_DIFF3
+                for i in range(blocksize):
+                    buf[nwrap + i] = (br.var(resn) + 3 * buf[nwrap + i - 1]
+                                      - 3 * buf[nwrap + i - 2]
+                                      + buf[nwrap + i - 3])
+
+        block = buf[nwrap:]
+        # store the block mean (pre-bitshift domain, shifted on store in v2)
+        if nmean > 0:
+            s = (0 if version < 2 else blocksize // 2) + sum(block)
+            offsets[chan] = offsets[chan][1:] + [
+                s // blocksize if version < 2
+                else (s // blocksize) << bitshift]
+        # wrap warmup samples in the PRE-bitshift domain
+        wrap[chan] = buf[blocksize:blocksize + nwrap]
+        if bitshift:
+            block = [v << bitshift for v in block]
+        out[chan].extend(block)
+        chan = (chan + 1) % nchan
+
+    n = min(len(c) for c in out) if nchan > 1 else len(out[0])
+    arr = np.stack([np.asarray(c[:n], np.int64) for c in out], axis=1)
+
+    if ftype in _SIGNED_16 or ftype in (TYPE_AU2, TYPE_AU3):
+        audio = arr.astype(np.int16)
+    elif ftype in _UNSIGNED_16:
+        audio = (arr - 0x8000).astype(np.int16)
+    elif ftype == TYPE_S8:
+        audio = (arr.astype(np.int16)) << 8
+    elif ftype == TYPE_U8:
+        audio = ((arr - 0x80).astype(np.int16)) << 8
+    elif ftype in (TYPE_ULAW, TYPE_AU1):
+        audio = _ulaw_to_int16(arr.astype(np.int64) & 0xFF)
+    elif ftype == TYPE_ALAW:
+        audio = _alaw_to_int16(arr.astype(np.int64) & 0xFF)
+    else:
+        raise ValueError(f"unsupported shorten file type {ftype}")
+    if nchan == 1:
+        audio = audio[:, 0]
+    info = {"ftype": ftype, "nchan": nchan, "blocksize": blocksize,
+            "nmean": nmean, "version": version}
+    return audio, info

@@ -56,10 +56,27 @@ def _read_sphere(file_name: str, header_only: bool = False
         byte_fmt = fields.get("sample_byte_format", "01")
         f.seek(header_size)
         raw = f.read()
-    if "shorten" in coding or "wavpack" in coding:
+    if "wavpack" in coding:
         raise ValueError(
             f"{file_name}: SPHERE payload is '{coding}'-compressed; convert "
-            "once with sph2pipe (the WSJ recipe's existing flow)")
+            "once with sph2pipe (nothing in the supported corpora uses "
+            "wavpack)")
+    if "shorten" in coding:
+        # WSJ's embedded-shorten-v2 payloads decode natively
+        # (utils/shorten.py) — no sph2pipe needed to read the corpus in
+        # place. The SPHERE header's sample_count is authoritative; the
+        # shorten stream may carry trailing padding blocks.
+        from speech_tpu.utils.shorten import decode_shorten
+
+        audio, _info = decode_shorten(raw)
+        if audio.ndim == 1 and channels > 1:
+            audio = audio.reshape(-1, channels)
+        if audio.shape[0] < n:
+            raise ValueError(
+                f"{file_name}: shorten payload decodes to {audio.shape[0]} "
+                f"samples but the SPHERE header promises {n}")
+        audio = audio[:n]  # ULAW-typed streams are already linear int16
+        return np.asarray(audio, dtype=np.int16), rate
     if coding.startswith("ulaw") or coding.startswith("mu-law"):
         u = np.frombuffer(raw[: n * channels], dtype=np.uint8)
         audio = _ulaw_decode(u)

@@ -123,6 +123,51 @@ def test_wsj_load_waves_and_text(tmp_path):
     assert text["011c0201"] == "the quick fox"
 
 
+def test_wsj_native_sphere_manifest_end_to_end(tmp_path):
+    """--native_sphere flow: the manifest points at the original
+    embedded-shorten .wv1 SPHERE files and the loader stack reads them in
+    place (utils/shorten.py) — no sph2pipe conversion pass."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from shn_ref_encoder import encode_shn
+
+    base = str(tmp_path)
+    idx_dir = os.path.join(base, "wsj0/doc/indices/train")
+    spk_dir = os.path.join(base, "wsj0/si_tr_s/011")
+    os.makedirs(idx_dir)
+    os.makedirs(spk_dir)
+    rng = np.random.default_rng(0)
+    n = 4800
+    samples = np.clip(rng.normal(0, 2000, n), -32768, 32767).astype(np.int64)
+    payload = encode_shn(samples, blocksize=256, nmean=4)
+    coding = "pcm,embedded-shorten-v2"
+    header = (f"NIST_1A\n   1024\nsample_rate -i 16000\n"
+              f"sample_count -i {n}\nchannel_count -i 1\n"
+              f"sample_n_bytes -i 2\nsample_byte_format -s2 10\n"
+              f"sample_coding -s{len(coding)} {coding}\nend_head\n")
+    wv1 = os.path.join(spk_dir, "011c0201.wv1")
+    with open(wv1, "wb") as f:
+        f.write(header.encode().ljust(1024, b" ") + payload)
+    with open(os.path.join(idx_dir, "tr_s_wv1.ndx"), "w") as f:
+        f.write("11_1_1: /wsj0/si_tr_s/011/011c0201.wv1\n")
+
+    waves = wsj.load_waves(base, ["wsj0/doc/indices/train/tr_s_wv1.ndx"],
+                           ext=".wv1")
+    assert waves == [wv1]
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    wsj.write_json(out, "train_si284", waves, {"011c0201": "the quick fox"})
+    with open(os.path.join(out, "train_si284.json")) as f:
+        row = json.loads(f.readline())
+    assert row["audio"] == wv1
+    assert row["duration"] == pytest.approx(n / 16000)
+
+    from speech_tpu.utils.wave import array_from_wave
+
+    audio, rate = array_from_wave(wv1)
+    assert rate == 16000
+    np.testing.assert_array_equal(audio, samples.astype(np.int16))
+
+
 def test_librispeech_tree(tmp_path):
     split = str(tmp_path / "LibriSpeech" / "dev-clean")
     d = os.path.join(split, "84", "121123")

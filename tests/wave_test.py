@@ -95,13 +95,24 @@ def test_sphere_ulaw(tmp_path):
     assert err.max() < 1100, err.max()
 
 
-def test_sphere_shorten_rejected(tmp_path):
+def test_sphere_shorten_decodes_and_wavpack_rejected(tmp_path):
+    """Embedded-shorten payloads decode natively now (utils/shorten.py;
+    round-trip coverage in tests/shorten_test.py) — a garbage payload under
+    that coding raises a shorten error, not a convert-with-sph2pipe one.
+    wavpack stays rejected with a clear message."""
+    import pytest
+
     path = str(tmp_path / "t.sph")
     _write_sphere(path, np.zeros(10, np.int16), 16000,
                   coding="pcm,embedded-shorten-v2.00")
-    import pytest
-    with pytest.raises(ValueError, match="sph2pipe"):
-        wave.array_from_wave(path)
+    with pytest.raises(ValueError, match="shorten"):
+        wave.array_from_wave(path)  # payload is raw PCM, not a shn stream
+
+    path2 = str(tmp_path / "t2.sph")
+    _write_sphere(path2, np.zeros(10, np.int16), 16000,
+                  coding="pcm,embedded-wavpack")
+    with pytest.raises(ValueError, match="wavpack"):
+        wave.array_from_wave(path2)
 
 
 def test_flac_corrupt_clear_error(tmp_path):
