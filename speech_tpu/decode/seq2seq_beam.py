@@ -27,17 +27,23 @@ _NEG = -1e30
 
 # Hoisted jitted programs, one per (model, beam_size, max_len); jax.jit's
 # cache then keys on bucket shapes (make_infer_step discipline — a second
-# same-shape batch spends zero trace/compile time).
+# same-shape batch spends zero trace/compile time). LRU-bounded so a
+# process sweeping many checkpoints doesn't pin every model + its compiled
+# executables forever.
 _RUNNERS: dict = {}
+_RUNNERS_MAX = 8
 
 
 def _get_runner(model, beam_size: int, max_len: int):
     key = (id(model), beam_size, max_len)
-    entry = _RUNNERS.get(key)
+    entry = _RUNNERS.pop(key, None)
     if entry is not None and entry[0] is model:
+        _RUNNERS[key] = entry  # re-insert = most-recently-used
         return entry[1]
     run = _build_runner(model, beam_size, max_len)
     _RUNNERS[key] = (model, run)
+    while len(_RUNNERS) > _RUNNERS_MAX:
+        _RUNNERS.pop(next(iter(_RUNNERS)))  # evict least-recently-used
     return run
 
 

@@ -33,6 +33,7 @@ bench/train.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -247,16 +248,12 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
     r_size = jnp.dtype(res_dtype).itemsize
     per_step = (n * three_h * (in_size + r_size)  # x_proj in + dxp out
                 + n * hidden * (in_size + g_size + r_size))  # hs_prev, g, r
-    import os
-
     bwd_cap = int(os.environ.get("SPEECH_TPU_GRU_BWD_TB", "8"))
     tb = _pick_tb(t, per_step, 12 * 1024 * 1024, cap=bwd_cap)
     t_pad = -(-t // tb) * tb
     nb = t_pad // tb
 
     rev3 = lambda i: (nb - 1 - i, 0, 0)
-    import os
-
     # dhp staging A/B (round 5, v5e, flagship step, median-of-3):
     # concat 141.9 ms vs scratch 143.0 ms — the lane-axis concat inside the
     # sequential loop was NOT a bottleneck (Mosaic handles it without a

@@ -116,6 +116,20 @@ def _rounded_shift_down(x: int, n: int) -> int:
     return ((x >> (n - 1)) + 1) >> 1
 
 
+def _cdiv(a: int, b: int) -> int:
+    """C signed integer division (truncates toward zero; Python // floors —
+    they differ for negative numerators, and shorten's mean/offset math is
+    specified by the C behavior)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def lpcq_offset(version: int) -> int:
+    """QLPC prediction initializer: version >= 2 adds 1 << LPCQUANT
+    (shorten.c's version-gated V2LPCQOFFSET), earlier versions add nothing."""
+    return (1 << LPCQUANT) if version >= 2 else 0
+
+
 def _ulaw_to_int16(u: np.ndarray) -> np.ndarray:
     from speech_tpu.utils.wave import _ulaw_decode
 
@@ -198,8 +212,8 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
         else:
             s = 0 if version < 2 else nmean // 2
             s += sum(offsets[chan])
-            coffset = (s // nmean if version < 2
-                       else _rounded_shift_down(s // nmean, bitshift))
+            coffset = (_cdiv(s, nmean) if version < 2
+                       else _rounded_shift_down(_cdiv(s, nmean), bitshift))
 
         buf = wrap[chan] + [0] * blocksize  # buf[nwrap + i] = sample i
 
@@ -208,12 +222,20 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
         elif cmd == FN_QLPC:
             resn = br.uvar(ENERGYSIZE)
             nlpc = br.uvar(LPCQSIZE)
+            if nlpc > nwrap:
+                # a valid stream never predicts past its declared maxnlpc
+                # warmup; wrapped negative Python indexing would silently
+                # read future samples instead of failing
+                raise ValueError(
+                    f"malformed shorten stream (LPC order {nlpc} exceeds "
+                    f"the header's max {nwrap})")
             qlpc = [br.var(LPCQUANT) for _ in range(nlpc)]
             if coffset:
                 for i in range(nwrap):
                     buf[i] -= coffset
+            qoff = lpcq_offset(version)
             for i in range(blocksize):
-                acc = 1 << (LPCQUANT - 1)
+                acc = qoff
                 for j in range(nlpc):
                     acc += qlpc[j] * buf[nwrap + i - j - 1]
                 buf[nwrap + i] = br.var(resn) + (acc >> LPCQUANT)
@@ -243,8 +265,8 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
         if nmean > 0:
             s = (0 if version < 2 else blocksize // 2) + sum(block)
             offsets[chan] = offsets[chan][1:] + [
-                s // blocksize if version < 2
-                else (s // blocksize) << bitshift]
+                _cdiv(s, blocksize) if version < 2
+                else _cdiv(s, blocksize) << bitshift]
         # wrap warmup samples in the PRE-bitshift domain
         wrap[chan] = buf[blocksize:blocksize + nwrap]
         if bitshift:

@@ -22,8 +22,8 @@ from speech_tpu.utils.shorten import (BITSHIFTSIZE, ENERGYSIZE, FN_BITSHIFT,
                                       FN_VERBATIM, FN_ZERO, FNSIZE, LPCQSIZE,
                                       LPCQUANT, MAGIC, NWRAP, ULONGSIZE,
                                       VERBATIM_BYTE_SIZE,
-                                      VERBATIM_CKSIZE_SIZE, XBYTESIZE,
-                                      _rounded_shift_down)
+                                      VERBATIM_CKSIZE_SIZE, XBYTESIZE, _cdiv,
+                                      _rounded_shift_down, lpcq_offset)
 
 
 class BitWriter:
@@ -88,6 +88,8 @@ def encode_shn(samples: np.ndarray, ftype: int = 3, version: int = 2,
     if arr.ndim == 1:
         arr = arr[:, None]
     n, nchan = arr.shape
+    if commands == "qlpc" and maxnlpc < 2:
+        maxnlpc = 2  # the demo QLPC predictor below is order 2
     nwrap = max(NWRAP, maxnlpc)
 
     w = BitWriter()
@@ -133,8 +135,8 @@ def encode_shn(samples: np.ndarray, ftype: int = 3, version: int = 2,
             coffset = offsets[chan][0]
         else:
             s = (0 if version < 2 else nmean // 2) + sum(offsets[chan])
-            coffset = (s // nmean if version < 2
-                       else _rounded_shift_down(s // nmean, cur_shift))
+            coffset = (_cdiv(s, nmean) if version < 2
+                       else _rounded_shift_down(_cdiv(s, nmean), cur_shift))
 
         wb = wrap[chan] + block
         cands = {}
@@ -168,8 +170,9 @@ def encode_shn(samples: np.ndarray, ftype: int = 3, version: int = 2,
             res = []
             wb_off = [v - coffset for v in wrap[chan]] + \
                 [v - coffset for v in block]
+            qoff = lpcq_offset(version)
             for i in range(this):
-                acc = 1 << (LPCQUANT - 1)
+                acc = qoff
                 for j, q in enumerate(qlpc):
                     acc += q * wb_off[nwrap + i - j - 1]
                 res.append(wb_off[nwrap + i] - (acc >> LPCQUANT))
@@ -190,7 +193,8 @@ def encode_shn(samples: np.ndarray, ftype: int = 3, version: int = 2,
         if nmean > 0:
             s = (0 if version < 2 else this // 2) + sum(block)
             offsets[chan] = offsets[chan][1:] + [
-                s // this if version < 2 else (s // this) << cur_shift]
+                _cdiv(s, this) if version < 2
+                else _cdiv(s, this) << cur_shift]
         wrap[chan] = wb[this:this + nwrap]
         pos[chan] += this
         chan = (chan + 1) % nchan

@@ -62,6 +62,63 @@ def test_hand_built_diff1_stream():
     assert info["nchan"] == 1 and info["version"] == 2
 
 
+def test_hand_built_qlpc_version_offset():
+    """QLPC's prediction initializer is version-gated (shorten.c's
+    V2LPCQOFFSET): version >= 2 seeds the accumulator with 1 << LPCQUANT,
+    earlier versions with 0. Hand-built stream, NOT via the test encoder:
+    nlpc=1, coefficient 32 (== 1.0 at LPCQUANT=5), residuals [5, 7],
+    zero warmup -> v2 decodes [6, 14], v1 decodes [5, 12]."""
+    def build(version):
+        w = BitWriter()
+        w.ulong(3)   # ftype S16HL
+        w.ulong(1)   # nchan
+        w.ulong(2)   # blocksize
+        w.ulong(1)   # maxnlpc
+        w.ulong(0)   # nmean
+        w.ulong(0)   # nskip
+        w.uvar(shn.FN_QLPC, shn.FNSIZE)
+        w.uvar(2, shn.ENERGYSIZE)       # resn
+        w.uvar(1, shn.LPCQSIZE)         # nlpc = 1
+        w.var(32, shn.LPCQUANT)         # coefficient 1.0
+        w.var(5, 2)
+        w.var(7, 2)
+        w.uvar(shn.FN_QUIT, shn.FNSIZE)
+        return shn.MAGIC + bytes([version]) + w.tobytes()
+
+    audio2, _ = shn.decode_shorten(build(2))
+    np.testing.assert_array_equal(audio2, np.asarray([6, 14], np.int16))
+    audio1, _ = shn.decode_shorten(build(1))
+    np.testing.assert_array_equal(audio1, np.asarray([5, 12], np.int16))
+
+
+def test_hand_built_negative_mean_c_division():
+    """Block means use C-style truncation toward zero, not Python floor:
+    a DIFF0 stream with nmean=1 whose first block sums to a negative
+    non-multiple of blocksize. Block 0 = [-3, -3, -2, -3] (sum -11, +2 v2
+    bias -> -9; C: -9/4 = -2, floor would give -3). Block 1's residuals are
+    relative to coffset -2, so sample = res + (-2)."""
+    w = BitWriter()
+    w.ulong(3)   # ftype
+    w.ulong(1)   # nchan
+    w.ulong(4)   # blocksize
+    w.ulong(0)   # maxnlpc
+    w.ulong(1)   # nmean = 1
+    w.ulong(0)   # nskip
+    w.uvar(shn.FN_DIFF0, shn.FNSIZE)
+    w.uvar(2, shn.ENERGYSIZE)
+    for r in (-3, -3, -2, -3):  # coffset 0 for the first block
+        w.var(r, 2)
+    w.uvar(shn.FN_DIFF0, shn.FNSIZE)
+    w.uvar(2, shn.ENERGYSIZE)
+    for r in (0, 1, 2, 3):  # + coffset (-2 with C division; -3 if floored)
+        w.var(r, 2)
+    w.uvar(shn.FN_QUIT, shn.FNSIZE)
+    data = shn.MAGIC + bytes([2]) + w.tobytes()
+    audio, _ = shn.decode_shorten(data)
+    np.testing.assert_array_equal(
+        audio, np.asarray([-3, -3, -2, -3, -2, -1, 0, 1], np.int16))
+
+
 # --- round trips through the reference encoder -----------------------------
 
 

@@ -55,10 +55,14 @@ def get_posteriors(model, params, preproc, manifest, cache_path):
             lps.append(lp[i, : int(lens[i])])
             lengths.append(int(lens[i]))
             labels.append(batch["labels"][i, :u].tolist())
-    np.savez(cache_path,
-             lps=np.asarray(lps, dtype=object),
-             lengths=np.asarray(lengths),
-             labels=np.asarray(labels, dtype=object))
+    # build the object arrays explicitly: np.asarray(list, dtype=object)
+    # collapses to a 3-D object array when every element shares one shape
+    lps_arr = np.empty(len(lps), object)
+    lps_arr[:] = lps
+    labels_arr = np.empty(len(labels), object)
+    labels_arr[:] = labels
+    np.savez(cache_path, lps=lps_arr, lengths=np.asarray(lengths),
+             labels=labels_arr)
     return lps, lengths, labels
 
 
