@@ -42,6 +42,8 @@ available, add it to the tests.
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 MAGIC = b"ajkg"
@@ -75,11 +77,17 @@ _UNSIGNED_16 = (TYPE_U16HL, TYPE_U16LH)
 
 class _BitReader:
     """MSB-first bit reader (shorten buffers 32-bit big-endian words and
-    consumes bits from the MSB, which is byte-wise MSB-first)."""
+    consumes bits from the MSB, which is byte-wise MSB-first).
+
+    ``var_block`` decodes a whole run of identically-sized ``var`` codes at
+    once using a precomputed table of set-bit positions — the residual
+    blocks are ~all of a stream's bits, and decoding them one Python bit at
+    a time made in-place WSJ reads ~10x slower than necessary."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self._ones: list[int] | None = None  # positions of 1-bits
 
     def bit(self) -> int:
         p = self.pos
@@ -108,6 +116,54 @@ class _BitReader:
 
     def ulong(self) -> int:
         return self.uvar(self.uvar(ULONGSIZE))
+
+    def _index_ones(self) -> None:
+        bits = np.unpackbits(np.frombuffer(self.data, np.uint8))
+        self._bits = bits
+        self._ones = np.flatnonzero(bits).tolist()
+
+    def var_block(self, k: int, n: int) -> np.ndarray:
+        """Decode ``n`` consecutive ``var(k)`` codes as an int64 array
+        (bit-exact with calling :meth:`var` ``n`` times)."""
+        if n == 0:
+            return np.zeros(0, np.int64)
+        if self._ones is None:
+            self._index_ones()
+        ones = self._ones
+        n_ones = len(ones)
+        k1 = k + 1
+        total_bits = 8 * len(self.data)
+        entry = self.pos
+        stops = []
+        append = stops.append
+        bl = bisect.bisect_left
+        # j = index in `ones` of the first 1-bit at or after the entry pos
+        j = bl(ones, entry)
+        pos = entry
+        for _ in range(n):
+            if j >= n_ones:
+                raise ValueError("truncated shorten stream")
+            s = ones[j]
+            append(s)
+            pos = s + 1 + k1
+            # skip 1-bits inside the k1 literal bits we just consumed (the
+            # lo hint makes this a near-constant-size search)
+            j = bl(ones, pos, j + 1)
+        if pos > total_bits:
+            raise ValueError("truncated shorten stream")
+        self.pos = pos
+
+        stops_a = np.asarray(stops, np.int64)
+        starts = np.empty(n, np.int64)
+        starts[0] = entry
+        starts[1:] = stops_a[:-1] + 1 + k1
+        counts = stops_a - starts  # unary zero runs
+        # gather the k1 literal bits after each stop bit
+        idx = stops_a[:, None] + 1 + np.arange(k1)[None, :]
+        low = self._bits[idx].astype(np.int64)
+        weights = 1 << np.arange(k1 - 1, -1, -1, dtype=np.int64)
+        u = (counts << k1) | (low @ weights)
+        return np.where(u & 1, -(u >> 1) - 1, u >> 1)
 
 
 def _rounded_shift_down(x: int, n: int) -> int:
@@ -215,11 +271,31 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
             coffset = (_cdiv(s, nmean) if version < 2
                        else _rounded_shift_down(_cdiv(s, nmean), bitshift))
 
-        buf = wrap[chan] + [0] * blocksize  # buf[nwrap + i] = sample i
-
         if cmd == FN_ZERO:
-            pass  # already zeros
+            samples = np.zeros(blocksize, np.int64)
+        elif cmd in (FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3):
+            resn = br.uvar(ENERGYSIZE)
+            res = br.var_block(resn, blocksize)
+            # fixed polynomial predictors, vectorized: order-p prediction
+            # means the p-th difference of the samples equals the residual,
+            # so each order is one more cumulative sum seeded from the
+            # warmup (bit-exact with the per-sample recurrences; pinned by
+            # the hand-built vectors and round-trips in tests).
+            w = wrap[chan]
+            if cmd == FN_DIFF0:
+                samples = res + coffset
+            elif cmd == FN_DIFF1:
+                samples = w[-1] + np.cumsum(res)
+            elif cmd == FN_DIFF2:
+                d_prev = w[-1] - w[-2]
+                samples = w[-1] + np.cumsum(d_prev + np.cumsum(res))
+            else:  # FN_DIFF3
+                d_prev = w[-1] - w[-2]
+                e_prev = d_prev - (w[-2] - w[-3])
+                samples = w[-1] + np.cumsum(
+                    d_prev + np.cumsum(e_prev + np.cumsum(res)))
         elif cmd == FN_QLPC:
+            buf = wrap[chan] + [0] * blocksize  # buf[nwrap + i] = sample i
             resn = br.uvar(ENERGYSIZE)
             nlpc = br.uvar(LPCQSIZE)
             if nlpc > nwrap:
@@ -242,40 +318,23 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
             if coffset:
                 for i in range(blocksize):
                     buf[nwrap + i] += coffset
-        else:
-            resn = br.uvar(ENERGYSIZE)
-            if cmd == FN_DIFF0:
-                for i in range(blocksize):
-                    buf[nwrap + i] = br.var(resn) + coffset
-            elif cmd == FN_DIFF1:
-                for i in range(blocksize):
-                    buf[nwrap + i] = br.var(resn) + buf[nwrap + i - 1]
-            elif cmd == FN_DIFF2:
-                for i in range(blocksize):
-                    buf[nwrap + i] = (br.var(resn) + 2 * buf[nwrap + i - 1]
-                                      - buf[nwrap + i - 2])
-            else:  # FN_DIFF3
-                for i in range(blocksize):
-                    buf[nwrap + i] = (br.var(resn) + 3 * buf[nwrap + i - 1]
-                                      - 3 * buf[nwrap + i - 2]
-                                      + buf[nwrap + i - 3])
+            samples = np.asarray(buf[nwrap:], np.int64)
 
-        block = buf[nwrap:]
         # store the block mean (pre-bitshift domain, shifted on store in v2)
         if nmean > 0:
-            s = (0 if version < 2 else blocksize // 2) + sum(block)
+            s = (0 if version < 2 else blocksize // 2) + int(samples.sum())
             offsets[chan] = offsets[chan][1:] + [
                 _cdiv(s, blocksize) if version < 2
                 else _cdiv(s, blocksize) << bitshift]
         # wrap warmup samples in the PRE-bitshift domain
-        wrap[chan] = buf[blocksize:blocksize + nwrap]
-        if bitshift:
-            block = [v << bitshift for v in block]
-        out[chan].extend(block)
+        wrap[chan] = [int(v) for v in
+                      (wrap[chan] + samples.tolist())[-nwrap:]]
+        out[chan].append(samples << bitshift if bitshift else samples)
         chan = (chan + 1) % nchan
 
+    out = [np.concatenate(c) if c else np.zeros(0, np.int64) for c in out]
     n = min(len(c) for c in out) if nchan > 1 else len(out[0])
-    arr = np.stack([np.asarray(c[:n], np.int64) for c in out], axis=1)
+    arr = np.stack([c[:n] for c in out], axis=1)
 
     if ftype in _SIGNED_16 or ftype in (TYPE_AU2, TYPE_AU3):
         audio = arr.astype(np.int16)
