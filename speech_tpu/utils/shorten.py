@@ -219,11 +219,24 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
     br = _BitReader(data)
     br.pos = 5 * 8
 
+    def checked_blocksize(v: int) -> int:
+        if not 1 <= v <= 1 << 20:
+            raise ValueError(f"implausible shorten block size {v}")
+        return v
+
+    def checked_resn(v: int) -> int:
+        # samples are <= 32-bit; a larger Rice parameter only appears in
+        # corrupt/hostile streams and would size the literal-bit gather
+        # (and allocations) by it
+        if v > 32:
+            raise ValueError(f"implausible shorten residual size {v}")
+        return v
+
     ftype = br.ulong()
     nchan = br.ulong()
     if not 1 <= nchan <= 8:
         raise ValueError(f"implausible shorten channel count {nchan}")
-    blocksize = br.ulong()
+    blocksize = checked_blocksize(br.ulong())
     maxnlpc = br.ulong()
     nmean = br.ulong()
     nskip = br.ulong()
@@ -248,7 +261,7 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
         if cmd == FN_QUIT:
             break
         if cmd == FN_BLOCKSIZE:
-            blocksize = br.ulong()
+            blocksize = checked_blocksize(br.ulong())
             continue
         if cmd == FN_BITSHIFT:
             bitshift = br.uvar(BITSHIFTSIZE)
@@ -274,7 +287,7 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
         if cmd == FN_ZERO:
             samples = np.zeros(blocksize, np.int64)
         elif cmd in (FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3):
-            resn = br.uvar(ENERGYSIZE)
+            resn = checked_resn(br.uvar(ENERGYSIZE))
             res = br.var_block(resn, blocksize)
             # fixed polynomial predictors, vectorized: order-p prediction
             # means the p-th difference of the samples equals the residual,
@@ -296,7 +309,7 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
                     d_prev + np.cumsum(e_prev + np.cumsum(res)))
         elif cmd == FN_QLPC:
             buf = wrap[chan] + [0] * blocksize  # buf[nwrap + i] = sample i
-            resn = br.uvar(ENERGYSIZE)
+            resn = checked_resn(br.uvar(ENERGYSIZE))
             nlpc = br.uvar(LPCQSIZE)
             if nlpc > nwrap:
                 # a valid stream never predicts past its declared maxnlpc

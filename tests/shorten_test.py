@@ -196,6 +196,26 @@ def test_verbatim_and_skip_bytes_ignored():
     np.testing.assert_array_equal(audio, s.astype(np.int16))
 
 
+def test_hostile_size_fields_rejected():
+    """Corrupt/hostile size fields fail with clear errors instead of
+    gigabyte allocations: huge block size and huge Rice parameter."""
+    def header(blocksize):
+        w = BitWriter()
+        w.ulong(3); w.ulong(1); w.ulong(blocksize)
+        w.ulong(0); w.ulong(0); w.ulong(0)
+        return w
+
+    w = header(1 << 23)
+    with pytest.raises(ValueError, match="block size"):
+        shn.decode_shorten(shn.MAGIC + bytes([2]) + w.tobytes())
+
+    w = header(64)
+    w.uvar(shn.FN_DIFF1, shn.FNSIZE)
+    w.uvar(60, shn.ENERGYSIZE)  # resn 60 > any real sample width
+    with pytest.raises(ValueError, match="residual size"):
+        shn.decode_shorten(shn.MAGIC + bytes([2]) + w.tobytes())
+
+
 def test_corrupt_stream_clear_errors():
     with pytest.raises(ValueError, match="magic"):
         shn.decode_shorten(b"nope" + b"\x00" * 16)
