@@ -20,6 +20,12 @@ from speech_tpu.utils.score import compute_cer
 def run(model_path: str, dataset_json: str, batch_size: int = 8,
         tag: str = "best", out_file=None, beam_size: int = 0,
         n_seq: int = 1, lm_path: str = None):
+    # Persistent XLA compile cache (same default dir as training): eval
+    # compiles one program per bucket shape — on slow/remote compile
+    # services that dominated beam-eval wall time on repeat runs.
+    from speech_tpu.training.trainer import enable_compilation_cache
+
+    enable_compilation_cache(None)
     bundle = speech_tpu.load(model_path, tag=tag)
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
     loader = make_loader(dataset_json, preproc, batch_size, drop_last=False,
@@ -60,8 +66,10 @@ def run(model_path: str, dataset_json: str, batch_size: int = 8,
         infer_step = make_seq_infer_step(model, make_seq_mesh(n_seq),
                                          max_len=max_len)
     else:
-        infer_step = (make_infer_step(model, max_len=max_len)
-                      if beam_size == 0 else None)
+        # Built for beam evals too: the CTC beam consumes the jitted
+        # log_probs program (infer_batch); seq2seq/transducer beams carry
+        # their own hoisted encode+search programs and ignore it.
+        infer_step = make_infer_step(model, max_len=max_len)
     all_preds, all_labels = [], []
     for batch in loader:
         n_valid = batch.pop("_n_valid", len(batch["input_lengths"]))

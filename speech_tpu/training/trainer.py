@@ -315,8 +315,15 @@ def infer_batch(model, params, batch, max_len: int = 200,
             ys = model.apply({"params": params}, batch, max_len,
                              method="greedy")
         return postprocess_decoded(model, ys)
-    log_probs, lengths = model.apply({"params": params}, batch,
-                                     method="log_probs")
+    if infer_step is not None:
+        # the CTC infer step IS the jitted log_probs program — use it for
+        # the beam path too (the eager model.apply dispatches the whole
+        # encoder op-by-op, which dominates beam-eval wall time on
+        # remote/tunneled devices)
+        log_probs, lengths = infer_step(params, batch)
+    else:
+        log_probs, lengths = model.apply({"params": params}, batch,
+                                         method="log_probs")
     if beam_size > 0:
         from speech_tpu.decode.ctc_beam import ctc_beam_decode
 
