@@ -193,6 +193,48 @@ def gru_mode(steps):
           f"A/B the dhp staging by rerunning with SPEECH_TPU_GRU_DHP=concat)")
 
 
+def hlo_mode(steps):
+    """Dump the layout evidence for the conv-grad glue finding: compile the
+    ReLU-composed l2 layer under both VJP impls and list every large copy /
+    transpose in the optimized HLO with its layout annotation. With
+    pallas_grads, ~100 MB {3,2,1,0}<->{3,0,2,1} transposing copies appear on
+    the shared operands; with manual_dx they don't (the whole graph lives in
+    the conv emitters' layout domain). See BASELINE.md round-5 campaign."""
+    import re
+
+    from speech_tpu.ops import conv as conv_ops
+
+    rng = np.random.default_rng(0)
+    x2 = jnp.asarray(rng.standard_normal(L2_X), jnp.bfloat16)
+    k2 = jnp.asarray(rng.standard_normal(L2_K) * 0.05, jnp.bfloat16)
+
+    def s(v):
+        return jnp.sum(v.astype(jnp.float32))
+
+    for impl in ("manual_dx", "pallas_grads"):
+        def f(x, k, impl=impl):
+            def loss(args):
+                xx, kk = args
+                return s(jax.nn.relu(conv_ops.encoder_conv(
+                    jax.nn.relu(xx), kk, 1, impl=impl)))
+            l, gr = jax.value_and_grad(loss)((x, k))
+            return l + 0.0 * (s(gr[0]) + s(gr[1]))
+
+        txt = jax.jit(f).lower(x2, k2).compile().as_text()
+        big = []
+        for ln in txt.splitlines():
+            ln = ln.strip()
+            m = re.match(r".*= (bf16|f32)\[([0-9,]+)\][^ ]* (copy|transpose)\(",
+                         ln)
+            if m:
+                dims = [int(d) for d in m.group(2).split(",") if d]
+                if int(np.prod(dims)) > 2_000_000:
+                    big.append(ln)
+        print(f"===== {impl}: {len(big)} large copies/transposes")
+        for ln in big:
+            print("  ", ln[:150])
+
+
 def step_mode(steps):
     """Full flagship train step = bench.py's exact program under the current
     env knobs (SPEECH_TPU_CONV_IMPL, SPEECH_TPU_GRU_DHP, BENCH_*)."""
@@ -207,7 +249,7 @@ def step_mode(steps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["conv", "gru", "step"])
+    ap.add_argument("mode", choices=["conv", "gru", "step", "hlo"])
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
     enable_compilation_cache(None)
@@ -216,6 +258,8 @@ def main():
         conv_mode(args.steps)
     elif args.mode == "gru":
         gru_mode(args.steps)
+    elif args.mode == "hlo":
+        hlo_mode(args.steps)
     else:
         step_mode(args.steps)
 
