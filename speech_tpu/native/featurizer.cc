@@ -28,7 +28,8 @@
 #include <unordered_map>
 #include <vector>
 
-#include "flac_core.h"  // FLAC corpora (LibriSpeech) decode in-pipeline
+#include "flac_core.h"    // FLAC corpora (LibriSpeech) decode in-pipeline
+#include "sphere_core.h"  // NIST SPHERE + shorten (TIMIT, WSJ) in-pipeline
 
 namespace {
 
@@ -374,11 +375,44 @@ int64_t read_flac_mono(const char* path, std::vector<double>* out,
   return n;
 }
 
-// Reads a wav (or FLAC, dispatched by magic) into mono float64 (int16-valued,
-// channel-averaged). Returns number of frames or a negative error code.
+// True when the file starts with the NIST SPHERE magic.
+bool is_sphere_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[7] = {0};
+  size_t got = fread(magic, 1, 7, f);
+  fclose(f);
+  return got == 7 && memcmp(magic, "NIST_1A", 7) == 0;
+}
+
+// Decodes a NIST SPHERE file (PCM both endians / mu-law / embedded-shorten)
+// into mono float64 — same contract as read_wav_mono.
+int64_t read_sphere_mono(const char* path, std::vector<double>* out,
+                         int* sample_rate) {
+  std::vector<uint8_t> buf;
+  if (flac_core::read_file(path, &buf) != flac_core::OK) return -1;
+  sphere_core::SphereInfo si;
+  std::vector<int16_t> pcm;
+  const int64_t n = sphere_core::decode(buf.data(), (int64_t)buf.size(),
+                                        &pcm, &si);
+  if (n < 0) return -2;
+  const int c = si.channels;
+  out->resize((size_t)n);
+  for (int64_t i = 0; i < n; i++) {
+    double acc = 0;
+    for (int k = 0; k < c; k++) acc += (double)pcm[(size_t)(i * c + k)];
+    (*out)[(size_t)i] = acc / c;
+  }
+  *sample_rate = si.sample_rate;
+  return n;
+}
+
+// Reads a wav (or FLAC / NIST SPHERE, dispatched by magic) into mono float64
+// (int16-valued, channel-averaged). Returns frames or a negative error code.
 int64_t read_wav_mono(const char* path, std::vector<double>* out,
                       int* sample_rate) {
   if (is_flac_file(path)) return read_flac_mono(path, out, sample_rate);
+  if (is_sphere_file(path)) return read_sphere_mono(path, out, sample_rate);
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
@@ -511,8 +545,22 @@ int64_t log_specgram_core(const double* audio, int64_t n_samples,
 
 extern "C" {
 
-// Probe an audio header (RIFF wav or FLAC STREAMINFO). Returns 0 on success.
+// Probe an audio header (RIFF wav, FLAC STREAMINFO, or SPHERE header).
+// Returns 0 on success.
 int stpu_wav_info(const char* path, int* sample_rate, int64_t* n_samples) {
+  if (is_sphere_file(path)) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t head[1024];
+    const size_t got = fread(head, 1, sizeof(head), f);
+    fclose(f);
+    sphere_core::SphereInfo si;
+    if (sphere_core::parse_header(head, (int64_t)got, &si) != sphere_core::OK)
+      return -2;
+    *sample_rate = si.sample_rate;
+    *n_samples = si.sample_count;
+    return 0;
+  }
   if (is_flac_file(path)) {
     // Header-only probe: STREAMINFO sits in the first metadata block.
     FILE* f = fopen(path, "rb");

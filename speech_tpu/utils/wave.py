@@ -8,14 +8,12 @@ probes the duration in seconds without reading the payload.
 The reference uses ``soundfile`` (libsndfile); here we parse the containers
 directly: RIFF/WAVE via the stdlib ``wave`` module, NIST SPHERE (TIMIT's
 native container) via its ASCII header — including WSJ's
-embedded-shorten-v2 payloads (utils/shorten.py, pure Python) — and FLAC
-(LibriSpeech's container) via the native C++ decoder in
-speech_tpu/native/flacdec.cc (pure-Python fallback in utils/flac.py). Every
-supported corpus reads in place with no prior conversion. Performance note:
-the shorten decode is a Python bitstream loop, fine for one-time prep but
-slow on a per-epoch hot path — for repeated training over WSJ, the
-recipe's sph2pipe/--convert flow (one-time expansion to wav, which also
-keeps the GIL-free C++ featurizer path) remains the fast option.
+embedded-shorten-v2 payloads (utils/shorten.py) — and FLAC (LibriSpeech's
+container) via the native C++ decoder in speech_tpu/native/flacdec.cc
+(pure-Python fallback in utils/flac.py). Every supported corpus reads in
+place with no prior conversion, and the training hot path stays native:
+the GIL-free C++ featurizer decodes SPHERE/shorten in-pipeline too
+(speech_tpu/native/sphere_core.h, parity-tested against this module).
 """
 
 from __future__ import annotations

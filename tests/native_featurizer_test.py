@@ -103,3 +103,81 @@ def test_preprocessor_uses_native(tiny_corpus):
 def test_error_on_missing_file():
     with pytest.raises(IOError):
         native.log_specgram_file("/nonexistent/file.wav")
+
+
+def _sphere_file(tmp_path, name, audio, sr=16000, byte_format="10",
+                 coding="pcm"):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wave_test import _write_sphere
+
+    p = str(tmp_path / name)
+    _write_sphere(p, audio, sr, byte_format=byte_format, coding=coding)
+    return p
+
+
+@pytest.mark.parametrize("byte_format", ["01", "10"])
+def test_sphere_pcm_native_parity(tmp_path, byte_format):
+    """The C++ featurizer reads NIST SPHERE in place (sphere_core.h): info,
+    raw samples, and features match the Python path exactly."""
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(9000) * 3000).astype(np.int16)
+    p = _sphere_file(tmp_path, f"s{byte_format}.sph", audio,
+                     byte_format=byte_format)
+    sr, n = native.wav_info(p)
+    assert (sr, n) == (16000, 9000)
+    ref = F.log_specgram_from_file(p)
+    nat = native.log_specgram_file(p)
+    np.testing.assert_allclose(nat, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_sphere_ulaw_native_parity(tmp_path):
+    rng = np.random.default_rng(4)
+    u = rng.integers(0, 256, 9000).astype(np.uint8)
+    p = _sphere_file(tmp_path, "u.sph", u, coding="ulaw")
+    ref = F.log_specgram_from_file(p)
+    nat = native.log_specgram_file(p)
+    np.testing.assert_allclose(nat, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_sphere_shorten_native_parity(tmp_path):
+    """WSJ-style embedded-shorten .wv1 through the NATIVE featurizer: the
+    C++ shorten decoder (sphere_core.h) must agree with the Python one
+    (utils/shorten.py) sample for sample, and features must match."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from shn_ref_encoder import encode_shn
+
+    rng = np.random.default_rng(5)
+    n = 9000
+    t = np.arange(n)
+    s = np.clip(5000 * np.sin(2 * np.pi * t * 211 / 16000)
+                + rng.normal(0, 300, n), -32768, 32767).astype(np.int64)
+    payload = encode_shn(s, blocksize=256, nmean=4)
+    coding = "pcm,embedded-shorten-v2"
+    head = ("NIST_1A\n   1024\n"
+            f"sample_count -i {n}\nsample_rate -i 16000\n"
+            "channel_count -i 1\nsample_n_bytes -i 2\n"
+            "sample_byte_format -s2 10\n"
+            f"sample_coding -s{len(coding)} {coding}\nend_head\n")
+    p = str(tmp_path / "t.wv1")
+    with open(p, "wb") as f:
+        f.write(head.encode().ljust(1024, b" ") + payload)
+
+    sr, count = native.wav_info(p)
+    assert (sr, count) == (16000, n)
+    # raw sample parity: native read vs python decoder
+    import ctypes
+
+    lib = native._load()
+    out = np.zeros(n, dtype=np.float32)
+    got_sr = ctypes.c_int(0)
+    m = lib.stpu_wav_read(p.encode(),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          n, ctypes.byref(got_sr))
+    assert m == n
+    np.testing.assert_array_equal(out.astype(np.int16), s.astype(np.int16))
+    # feature parity end to end
+    ref = F.log_specgram_from_file(p)
+    nat = native.log_specgram_file(p)
+    np.testing.assert_allclose(nat, ref, atol=1e-4, rtol=1e-4)
