@@ -20,13 +20,15 @@ from speech_tpu.utils.score import compute_cer
 def run(model_path: str, dataset_json: str, batch_size: int = 8,
         tag: str = "best", out_file=None, beam_size: int = 0,
         n_seq: int = 1, lm_path: str = None):
-    # Persistent XLA compile cache (same default dir as training): eval
-    # compiles one program per bucket shape — on slow/remote compile
-    # services that dominated beam-eval wall time on repeat runs.
-    from speech_tpu.training.trainer import enable_compilation_cache
-
-    enable_compilation_cache(None)
     bundle = speech_tpu.load(model_path, tag=tag)
+    # Persistent XLA compile cache, honoring the training config's settings
+    # (same semantics as trainer.run): eval compiles one program per bucket
+    # shape — on slow/remote compile services that dominated beam-eval wall
+    # time on repeat runs.
+    if bundle.config.get("compilation_cache", True):
+        from speech_tpu.training.trainer import enable_compilation_cache
+
+        enable_compilation_cache(bundle.config.get("compilation_cache_dir"))
     model, params, preproc = bundle.model, bundle.params, bundle.preproc
     loader = make_loader(dataset_json, preproc, batch_size, drop_last=False,
                          pad_last=True)

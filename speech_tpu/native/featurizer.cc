@@ -388,7 +388,7 @@ bool is_sphere_file(const char* path) {
 // Decodes a NIST SPHERE file (PCM both endians / mu-law / embedded-shorten)
 // into mono float64 — same contract as read_wav_mono.
 int64_t read_sphere_mono(const char* path, std::vector<double>* out,
-                         int* sample_rate) {
+                         int* sample_rate) try {
   std::vector<uint8_t> buf;
   if (flac_core::read_file(path, &buf) != flac_core::OK) return -1;
   sphere_core::SphereInfo si;
@@ -405,6 +405,9 @@ int64_t read_sphere_mono(const char* path, std::vector<double>* out,
   }
   *sample_rate = si.sample_rate;
   return n;
+} catch (...) {
+  // bad_alloc etc. must not unwind through the thread-pool workers
+  return -2;
 }
 
 // Reads a wav (or FLAC / NIST SPHERE, dispatched by magic) into mono float64
@@ -551,11 +554,14 @@ int stpu_wav_info(const char* path, int* sample_rate, int64_t* n_samples) {
   if (is_sphere_file(path)) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
-    uint8_t head[1024];
-    const size_t got = fread(head, 1, sizeof(head), f);
+    // headers are usually 1024 bytes but the size is declared on line 2;
+    // 16 KiB covers any real corpus header
+    std::vector<uint8_t> head(16384);
+    const size_t got = fread(head.data(), 1, head.size(), f);
     fclose(f);
     sphere_core::SphereInfo si;
-    if (sphere_core::parse_header(head, (int64_t)got, &si) != sphere_core::OK)
+    if (sphere_core::parse_header(head.data(), (int64_t)got, &si) !=
+        sphere_core::OK)
       return -2;
     *sample_rate = si.sample_rate;
     *n_samples = si.sample_count;

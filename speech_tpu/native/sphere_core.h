@@ -109,8 +109,12 @@ inline int16_t alaw_to_int16(uint8_t byte) {
 
 // Decode a shorten stream into interleaved int16. Returns samples per
 // channel, or a negative error. *nchan_out receives the channel count.
+// max_samples (< 0 = unbounded) caps the per-channel output so a tiny
+// hostile stream of huge-blocksize commands cannot expand to gigabytes
+// before a container-level count check (decompression bomb).
 inline int64_t decode(const uint8_t* data, int64_t size,
-                      std::vector<int16_t>* out, int* nchan_out) {
+                      std::vector<int16_t>* out, int* nchan_out,
+                      int64_t max_samples = -1) {
   if (size < 5 || memcmp(data, "ajkg", 4) != 0) return ERR_MALFORMED;
   const int version = data[4];
   if (version < 1 || version > 2) return ERR_UNSUPPORTED;
@@ -156,6 +160,8 @@ inline int64_t decode(const uint8_t* data, int64_t size,
     }
     if (cmd == FN_BITSHIFT) {
       bitshift = (int)br.uvar(BITSHIFTSIZE);
+      // shifts >= 64 are UB in C++; samples are <= 32-bit
+      if (br.overrun || bitshift > 31) return ERR_MALFORMED;
       continue;
     }
     if (cmd == FN_VERBATIM) {
@@ -234,10 +240,27 @@ inline int64_t decode(const uint8_t* data, int64_t size,
       off.back() = (version < 2) ? s / blocksize
                                  : (s / blocksize) << bitshift;
     }
-    // wrap warmup samples (pre-bitshift domain)
-    for (int64_t i = 0; i < nwrap; i++)
-      w[(size_t)i] = prev(blocksize, nwrap - i);
+    // wrap warmup samples (pre-bitshift domain). shorten.c wraps its
+    // in-place buffer, so when a QLPC block is shorter than the warmup the
+    // reached-back entries KEEP the coffset subtraction — match that quirk
+    // (utils/shorten.py mirrors it).
+    if (cmd == FN_QLPC && coffset) {
+      std::vector<int64_t> w_off = w;
+      for (auto& v : w_off) v -= coffset;
+      for (int64_t i = 0; i < nwrap; i++) {
+        const int64_t back = nwrap - i;
+        w[(size_t)i] = (blocksize - back >= 0)
+                           ? block[(size_t)(blocksize - back)]
+                           : w_off[(size_t)(nwrap + blocksize - back)];
+      }
+    } else {
+      for (int64_t i = 0; i < nwrap; i++)
+        w[(size_t)i] = prev(blocksize, nwrap - i);
+    }
     auto& sink = chans[(size_t)chan];
+    if (max_samples >= 0 &&
+        (int64_t)sink.size() + blocksize > max_samples)
+      return ERR_MALFORMED;
     for (int64_t v : block)
       sink.push_back(bitshift ? (v << bitshift) : v);
     chan = (chan + 1) % nchan;
@@ -332,6 +355,13 @@ inline int parse_header(const uint8_t* data, int64_t size, SphereInfo* info) {
     pos = eol;
   }
   if (info->channels < 1 || info->channels > 8) return ERR_MALFORMED;
+  // negative/absurd counts would otherwise reach size arithmetic and
+  // vector::resize (a throw across the C ABI aborts the featurizer's
+  // worker threads)
+  if (info->sample_count < 0 || info->sample_count > ((int64_t)1 << 40))
+    return ERR_MALFORMED;
+  if (info->sample_n_bytes < 1 || info->sample_n_bytes > 2)
+    return ERR_UNSUPPORTED;
   return OK;
 }
 
@@ -350,7 +380,9 @@ inline int64_t decode(const uint8_t* data, int64_t size,
   if (coding.find("wavpack") != std::string::npos) return ERR_UNSUPPORTED;
   if (coding.find("shorten") != std::string::npos) {
     int nchan = 0;
-    const int64_t got = shn::decode(payload, psize, out, &nchan);
+    // headroom for the final padded block, bounding decompression bombs
+    const int64_t got =
+        shn::decode(payload, psize, out, &nchan, n + ((int64_t)1 << 20));
     if (got < 0) return got;
     if (nchan != c || got < n) return ERR_TRUNCATED;
     out->resize((size_t)(n * c));  // trailing padding blocks trimmed

@@ -65,7 +65,6 @@ ULONGSIZE = 2
 VERBATIM_CKSIZE_SIZE = 5
 VERBATIM_BYTE_SIZE = 8
 NWRAP = 3
-DEFAULT_BLOCK_SIZE = 256  # version-0 streams have no blocksize field
 
 # file types (shorten.h); sample-to-int16 conversion per type below
 TYPE_AU1, TYPE_S8, TYPE_U8, TYPE_S16HL, TYPE_U16HL, TYPE_S16LH, \
@@ -118,9 +117,13 @@ class _BitReader:
         return self.uvar(self.uvar(ULONGSIZE))
 
     def _index_ones(self) -> None:
+        import array
+
         bits = np.unpackbits(np.frombuffer(self.data, np.uint8))
         self._bits = bits
-        self._ones = np.flatnonzero(bits).tolist()
+        # array('q'): bisect gets C-speed comparisons without boxing every
+        # position as a Python int (a list would cost ~30x the file size)
+        self._ones = array.array("q", np.flatnonzero(bits).tobytes())
 
     def var_block(self, k: int, n: int) -> np.ndarray:
         """Decode ``n`` consecutive ``var(k)`` codes as an int64 array
@@ -203,11 +206,17 @@ def _alaw_to_int16(a: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, -sample, sample).astype(np.int16)
 
 
-def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
+def decode_shorten(data: bytes, max_samples: int | None = None
+                   ) -> tuple[np.ndarray, dict]:
     """Decode a shorten stream to int16 samples.
 
     Returns ``(audio, info)``: audio is ``(n,)`` mono or ``(n, nchan)``;
     info carries ``ftype``, ``nchan``, ``blocksize``, ``nmean``.
+
+    ``max_samples``: optional per-channel output bound. A container that
+    knows the true length (SPHERE's sample_count) should pass it so a
+    hostile tiny stream of huge-blocksize ZERO commands cannot expand to
+    gigabytes before the count is checked (decompression bomb).
     """
     if data[:4] != MAGIC:
         raise ValueError("not a shorten stream (missing ajkg magic)")
@@ -240,6 +249,15 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
     maxnlpc = br.ulong()
     nmean = br.ulong()
     nskip = br.ulong()
+    # bounds mirror the native decoder (sphere_core.h) exactly so the two
+    # paths accept/reject the same streams; hostile values would otherwise
+    # size the warmup/offset allocations
+    if maxnlpc > 1024:
+        raise ValueError(f"implausible shorten max LPC order {maxnlpc}")
+    if nmean > 65536:
+        raise ValueError(f"implausible shorten mean window {nmean}")
+    if nskip > len(data):
+        raise ValueError(f"implausible shorten skip count {nskip}")
     for _ in range(nskip):
         br.uvar(XBYTESIZE)
     nwrap = max(NWRAP, maxnlpc)
@@ -255,6 +273,7 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
     bitshift = 0
     chan = 0
     out = [[] for _ in range(nchan)]
+    n_out = [0] * nchan
 
     while True:
         cmd = br.uvar(FNSIZE)
@@ -265,6 +284,8 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
             continue
         if cmd == FN_BITSHIFT:
             bitshift = br.uvar(BITSHIFTSIZE)
+            if bitshift > 31:  # C shifts >= 64 are UB; samples are <= 32-bit
+                raise ValueError(f"implausible shorten bitshift {bitshift}")
             continue
         if cmd == FN_VERBATIM:
             n = br.uvar(VERBATIM_CKSIZE_SIZE)
@@ -339,10 +360,22 @@ def decode_shorten(data: bytes) -> tuple[np.ndarray, dict]:
             offsets[chan] = offsets[chan][1:] + [
                 _cdiv(s, blocksize) if version < 2
                 else _cdiv(s, blocksize) << bitshift]
-        # wrap warmup samples in the PRE-bitshift domain
-        wrap[chan] = [int(v) for v in
-                      (wrap[chan] + samples.tolist())[-nwrap:]]
+        # wrap warmup samples in the PRE-bitshift domain. shorten.c wraps
+        # its in-place buffer, so when a QLPC block is shorter than the
+        # warmup the reached-back entries KEEP the coffset subtraction —
+        # match that quirk exactly (sphere_core.h mirrors it).
+        if cmd == FN_QLPC:
+            wrap[chan] = [int(v) for v in buf[-nwrap:]]
+        else:
+            wrap[chan] = [int(v) for v in
+                          (wrap[chan] + samples.tolist())[-nwrap:]]
         out[chan].append(samples << bitshift if bitshift else samples)
+        n_out[chan] += blocksize
+        if max_samples is not None and n_out[chan] > max_samples:
+            raise ValueError(
+                f"shorten stream exceeds the expected {max_samples} "
+                "samples per channel (corrupt stream or wrong container "
+                "sample_count)")
         chan = (chan + 1) % nchan
 
     out = [np.concatenate(c) if c else np.zeros(0, np.int64) for c in out]

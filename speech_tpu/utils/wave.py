@@ -69,7 +69,9 @@ def _read_sphere(file_name: str, header_only: bool = False
         # shorten stream may carry trailing padding blocks.
         from speech_tpu.utils.shorten import decode_shorten
 
-        audio, _info = decode_shorten(raw)
+        # headroom for the final padded block; bounds hostile streams that
+        # would otherwise expand far past the header's sample_count
+        audio, _info = decode_shorten(raw, max_samples=n + (1 << 20))
         if audio.ndim == 1 and channels > 1:
             audio = audio.reshape(-1, channels)
         if audio.shape[0] < n:

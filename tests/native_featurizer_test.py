@@ -181,3 +181,35 @@ def test_sphere_shorten_native_parity(tmp_path):
     ref = F.log_specgram_from_file(p)
     nat = native.log_specgram_file(p)
     np.testing.assert_allclose(nat, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_sphere_shorten_qlpc_quirk_native_parity(tmp_path):
+    """The QLPC short-block wrap quirk (see shorten_test) decodes
+    identically in the C++ decoder."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from shn_ref_encoder import encode_shn
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    s = (np.clip(rng.normal(0, 300, n), -3000, 3000) + 900).astype(np.int64)
+    payload = encode_shn(s, commands="qlpc", blocksize=2, nmean=1)
+    coding = "pcm,embedded-shorten-v2"
+    head = ("NIST_1A\n   1024\n"
+            f"sample_count -i {n}\nsample_rate -i 16000\n"
+            "channel_count -i 1\nsample_n_bytes -i 2\n"
+            "sample_byte_format -s2 10\n"
+            f"sample_coding -s{len(coding)} {coding}\nend_head\n")
+    p = str(tmp_path / "q.wv1")
+    with open(p, "wb") as f:
+        f.write(head.encode().ljust(1024, b" ") + payload)
+    import ctypes
+
+    lib = native._load()
+    out = np.zeros(n, dtype=np.float32)
+    got_sr = ctypes.c_int(0)
+    m = lib.stpu_wav_read(p.encode(),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          n, ctypes.byref(got_sr))
+    assert m == n
+    np.testing.assert_array_equal(out.astype(np.int16), s.astype(np.int16))

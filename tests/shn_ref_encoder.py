@@ -195,7 +195,13 @@ def encode_shn(samples: np.ndarray, ftype: int = 3, version: int = 2,
             offsets[chan] = offsets[chan][1:] + [
                 _cdiv(s, this) if version < 2
                 else _cdiv(s, this) << cur_shift]
-        wrap[chan] = wb[this:this + nwrap]
+        if cmd == FN_QLPC and coffset:
+            # shorten.c wraps its in-place buffer, whose warmup entries keep
+            # the coffset subtraction after a QLPC block — model the decoder
+            wrap[chan] = ([v - coffset for v in wrap[chan]]
+                          + block)[-nwrap:]
+        else:
+            wrap[chan] = wb[this:this + nwrap]
         pos[chan] += this
         chan = (chan + 1) % nchan
         if chan == 0:

@@ -138,6 +138,17 @@ def test_roundtrip_commands(cmd):
     np.testing.assert_array_equal(audio, s.astype(np.int16))
 
 
+def test_roundtrip_qlpc_short_block_wrap_quirk():
+    """QLPC blocks SHORTER than the warmup with a nonzero mean offset:
+    shorten.c wraps its in-place buffer, so the reached-back warmup entries
+    keep the coffset subtraction — encoder and both decoders model the
+    quirk identically (blocksize 2 < nwrap 3, nmean 1)."""
+    s = (_sig(40, seed=13) // 8 + 900).astype(np.int64)  # bias -> coffset!=0
+    data = encode_shn(s, commands="qlpc", blocksize=2, nmean=1)
+    audio, _ = shn.decode_shorten(data)
+    np.testing.assert_array_equal(audio, s.astype(np.int16))
+
+
 def test_roundtrip_zero_blocks_and_nmean0():
     s = np.zeros(300, np.int64)
     data = encode_shn(s, commands="zero", nmean=0)
