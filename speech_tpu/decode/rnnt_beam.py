@@ -32,28 +32,17 @@ import numpy as np
 
 _NEG = -1e30
 
-# Hoisted jitted programs, one per (model, beam_size, max_expand, max_out):
-# jax.jit's own cache then keys on batch/bucket shapes, so a second
-# same-shape batch spends zero trace/compile time (the make_infer_step
-# discipline; keyed on id() with the model kept in the value so a live
-# model can never collide with a recycled id). LRU-bounded so a process
-# sweeping many checkpoints doesn't pin every model + its compiled
-# executables forever.
-_RUNNERS: "dict" = {}
-_RUNNERS_MAX = 8
+from speech_tpu.decode._runners import RunnerCache
+
+# Hoisted jitted programs, one per (model, beam_size, max_expand, max_out);
+# see decode/_runners.py for the caching discipline.
+_RUNNERS = RunnerCache()
 
 
 def _get_runner(model, beam_size: int, max_expand: int, max_out: int):
-    key = (id(model), beam_size, max_expand, max_out)
-    entry = _RUNNERS.pop(key, None)
-    if entry is not None and entry[0] is model:
-        _RUNNERS[key] = entry  # re-insert = most-recently-used
-        return entry[1]
-    run = _build_runner(model, beam_size, max_expand, max_out)
-    _RUNNERS[key] = (model, run)
-    while len(_RUNNERS) > _RUNNERS_MAX:
-        _RUNNERS.pop(next(iter(_RUNNERS)))  # evict least-recently-used
-    return run
+    return _RUNNERS.get(
+        model, (beam_size, max_expand, max_out),
+        lambda: _build_runner(model, beam_size, max_expand, max_out))
 
 
 class _BeamSet:

@@ -25,26 +25,16 @@ import numpy as np
 
 _NEG = -1e30
 
-# Hoisted jitted programs, one per (model, beam_size, max_len); jax.jit's
-# cache then keys on bucket shapes (make_infer_step discipline — a second
-# same-shape batch spends zero trace/compile time). LRU-bounded so a
-# process sweeping many checkpoints doesn't pin every model + its compiled
-# executables forever.
-_RUNNERS: dict = {}
-_RUNNERS_MAX = 8
+from speech_tpu.decode._runners import RunnerCache
+
+# Hoisted jitted programs, one per (model, beam_size, max_len); see
+# decode/_runners.py for the caching discipline.
+_RUNNERS = RunnerCache()
 
 
 def _get_runner(model, beam_size: int, max_len: int):
-    key = (id(model), beam_size, max_len)
-    entry = _RUNNERS.pop(key, None)
-    if entry is not None and entry[0] is model:
-        _RUNNERS[key] = entry  # re-insert = most-recently-used
-        return entry[1]
-    run = _build_runner(model, beam_size, max_len)
-    _RUNNERS[key] = (model, run)
-    while len(_RUNNERS) > _RUNNERS_MAX:
-        _RUNNERS.pop(next(iter(_RUNNERS)))  # evict least-recently-used
-    return run
+    return _RUNNERS.get(model, (beam_size, max_len),
+                        lambda: _build_runner(model, beam_size, max_len))
 
 
 def _tile_beam(x: jax.Array, k: int) -> jax.Array:

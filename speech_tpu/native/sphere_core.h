@@ -340,11 +340,22 @@ inline int parse_header(const uint8_t* data, int64_t size, SphereInfo* info) {
                                                   ? std::string::npos
                                                   : eol - pos - 1);
     if (line.rfind("end_head", 0) == 0) break;
-    const size_t sp1 = line.find(' ');
-    const size_t sp2 = line.find(' ', sp1 + 1);
-    if (sp1 != std::string::npos && sp2 != std::string::npos) {
-      const std::string name = line.substr(0, sp1);
-      const std::string value = line.substr(sp2 + 1);
+    // whitespace-RUN tokenization ("name -type value"), matching the Python
+    // reader's line.split(None, 2): doubled spaces/tabs must not shift the
+    // value into the type token
+    const char* ws = " \t\r";
+    const size_t a = line.find_first_not_of(ws);
+    const size_t b = line.find_first_of(ws, a);
+    const size_t c2 = line.find_first_not_of(ws, b);
+    const size_t d = line.find_first_of(ws, c2);
+    const size_t e = line.find_first_not_of(ws, d);
+    if (a != std::string::npos && b != std::string::npos &&
+        c2 != std::string::npos && d != std::string::npos &&
+        e != std::string::npos) {
+      const std::string name = line.substr(a, b - a);
+      std::string value = line.substr(e);
+      const size_t tail = value.find_last_not_of(ws);
+      if (tail != std::string::npos) value.resize(tail + 1);
       if (name == "sample_rate") info->sample_rate = atoi(value.c_str());
       else if (name == "sample_count") info->sample_count = atoll(value.c_str());
       else if (name == "channel_count") info->channels = atoi(value.c_str());
@@ -357,8 +368,9 @@ inline int parse_header(const uint8_t* data, int64_t size, SphereInfo* info) {
   if (info->channels < 1 || info->channels > 8) return ERR_MALFORMED;
   // negative/absurd counts would otherwise reach size arithmetic and
   // vector::resize (a throw across the C ABI aborts the featurizer's
-  // worker threads)
-  if (info->sample_count < 0 || info->sample_count > ((int64_t)1 << 40))
+  // worker threads). 2^27 samples is ~2.3 h at 16 kHz — far beyond any
+  // utterance, and bounds the decode buffers a hostile header can demand.
+  if (info->sample_count < 0 || info->sample_count > ((int64_t)1 << 27))
     return ERR_MALFORMED;
   if (info->sample_n_bytes < 1 || info->sample_n_bytes > 2)
     return ERR_UNSUPPORTED;

@@ -204,19 +204,19 @@ def _kernel_grad_s1_xla(x, g, kh, kw):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv_relu_pallas_grads(x: jax.Array, kernel: jax.Array, stride: int,
                            interpret: bool = False) -> jax.Array:
-    """Fused VALID conv + ReLU with Pallas kernel-grad (stride-1 path).
+    """Fused VALID conv + ReLU with Pallas kernel-grad — a MEASURED-NEGATIVE
+    experiment kept as evidence, not a production path (nothing dispatches
+    to it; encoder_conv applies ReLU separately).
 
-    Why fusion matters here: with a bare elementwise ReLU between the conv
-    and its consumers, XLA materializes the conv input/cotangent once in the
-    convolution emitters' preferred layout ({3,0,2,1}-ish on TPU) and once in
-    the row-major layout the pallas_call requires — several ~100 MB
-    transposing copies per step (measured: the l2 layer composed with ReLUs
-    ran 105 ms with the Pallas dk vs 75 ms without it, while WITHOUT the
-    ReLUs Pallas won 59 ms vs 82 — tools/perf_r5.py, round-5 bisect). Fusing
-    the ReLU into this custom VJP keeps the mask-multiply INSIDE the
-    backward, where XLA fuses it into each consumer (the pad feeding the
-    Pallas dk and the transpose-conv dx) instead of materializing a
-    layout-pinned intermediate."""
+    The hypothesis was that fusing the ReLU into the custom VJP would remove
+    the cross-layout-domain copies the round-5 bisect identified (see the
+    module docstring): with the mask-multiply INSIDE the backward, XLA can
+    fuse it into each consumer instead of materializing a layout-pinned
+    intermediate. Measured on v5e: it does NOT help — 112.4 ms for the
+    composed stack vs 111.8 unfused-pallas and 86.5 manual_dx — because the
+    operands still materialize once per layout domain regardless of where
+    the mask lives. Retained (with its parity test) so the negative result
+    stays reproducible; see BASELINE.md "Round-5 perf campaign"."""
     return jnp.maximum(_conv_xla(x, kernel, stride), 0)
 
 

@@ -286,7 +286,10 @@ def _gru_bwd(k_dirs, interpret, residuals, g):
             jax.ShapeDtypeStruct((n, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, hidden), jnp.float32),
-                        pltpu.VMEM((n, three_h), wh.dtype)],
+                        # dhp staging buffer: only the opt-in scratch
+                        # variant touches it; keep it token-sized otherwise
+                        pltpu.VMEM((n, three_h) if dhp_scratch else (8, 128),
+                                   wh.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -161,6 +161,11 @@ class _BitReader:
         starts[0] = entry
         starts[1:] = stops_a[:-1] + 1 + k1
         counts = stops_a - starts  # unary zero runs
+        if int(counts.max()) > 1 << 20:
+            # same runaway-unary cap as the scalar uvar path and the native
+            # decoder, so all decode paths accept/reject the same streams
+            # (and counts << k1 can never overflow int64)
+            raise ValueError("malformed shorten stream (runaway unary)")
         # gather the k1 literal bits after each stop bit
         idx = stops_a[:, None] + 1 + np.arange(k1)[None, :]
         low = self._bits[idx].astype(np.int64)
@@ -220,6 +225,8 @@ def decode_shorten(data: bytes, max_samples: int | None = None
     """
     if data[:4] != MAGIC:
         raise ValueError("not a shorten stream (missing ajkg magic)")
+    if len(data) < 5:
+        raise ValueError("truncated shorten stream (no version byte)")
     version = data[4]
     if not 1 <= version <= MAX_VERSION:
         # version-0 streams used an off-by-one energy-parameter convention;

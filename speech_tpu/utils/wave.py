@@ -69,9 +69,18 @@ def _read_sphere(file_name: str, header_only: bool = False
         # shorten stream may carry trailing padding blocks.
         from speech_tpu.utils.shorten import decode_shorten
 
+        if n > 1 << 27:
+            # ~2.3 h at 16 kHz — far beyond any utterance; a hostile header
+            # count would otherwise size the decode buffers
+            raise ValueError(f"{file_name}: implausible SPHERE sample_count "
+                             f"{n}")
         # headroom for the final padded block; bounds hostile streams that
         # would otherwise expand far past the header's sample_count
         audio, _info = decode_shorten(raw, max_samples=n + (1 << 20))
+        if _info["nchan"] != channels:
+            raise ValueError(
+                f"{file_name}: shorten stream has {_info['nchan']} channels "
+                f"but the SPHERE header says {channels}")
         if audio.ndim == 1 and channels > 1:
             audio = audio.reshape(-1, channels)
         if audio.shape[0] < n:
