@@ -50,9 +50,9 @@ def pytest_addoption(parser):
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: excluded from the default quick suite; the whole "
-        "tier measured 5:35 on the 2-CPU reference box with a warm compile "
-        "cache, 2026-08-21 (enable with --runslow / RUN_SLOW=1; select "
-        "with -m slow)")
+        "tier measured 5:56 on the 2-CPU reference box with a warm compile "
+        "cache, 2026-08-21 end of round 5 (enable with --runslow / "
+        "RUN_SLOW=1; select with -m slow)")
     config.addinivalue_line(
         "markers", "exhaustive: brute-force sweeps / redundant seeds beyond "
         "the slow tier's 5-minute budget (enable with --run-exhaustive / "
@@ -69,7 +69,7 @@ def pytest_configure(config):
 # keeps at least one fast test in the quick suite.
 #
 # slow tier: >3 s each on this 2-CPU box (measured with --durations).
-# Measured budget (round 5, warm compile cache): 5:35 for the whole tier —
+# Measured budget (round 5 end, warm compile cache): 5:56 for the whole tier —
 # re-measure with ``pytest -m slow --runslow`` after adding to it; anything
 # that pushes the tier past ~6 minutes, or a redundant extra seed of a
 # covered property, goes to exhaustive. (The round-4 tier measured 12:20;
