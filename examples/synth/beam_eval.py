@@ -31,7 +31,12 @@ def main():
     ap.add_argument("--beam", type=int, default=4)
     ap.add_argument("--families", default="ctc,seq2seq,transducer")
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lm", help="bigram LM table for the CTC prefix beam "
+                    "(build_lm.py output, e.g. examples/synth/synth_lm.npz); "
+                    "writes {split}_per_beam{N}_lm rows. CTC only.")
     args = ap.parse_args()
+    if args.lm and args.families != "ctc":
+        ap.error("--lm applies to the CTC prefix beam; pass --families ctc")
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -55,11 +60,15 @@ def main():
             t0 = time.time()
             per = eval_driver.run(save_path, manifest,
                                   batch_size=args.batch_size, tag="best",
-                                  beam_size=args.beam)
-            entry[f"{split}_per_beam{args.beam}"] = round(float(per), 4)
-            entry[f"{split}_beam_eval_wall_s"] = round(time.time() - t0, 1)
-            print(f"=== {family} {split} beam-{args.beam} PER {per:.4f}",
-                  flush=True)
+                                  beam_size=args.beam, lm_path=args.lm)
+            if args.lm:
+                entry[f"{split}_per_beam{args.beam}_lm"] = round(float(per), 4)
+                entry[f"{split}_lm_eval_wall_s"] = round(time.time() - t0, 1)
+            else:
+                entry[f"{split}_per_beam{args.beam}"] = round(float(per), 4)
+                entry[f"{split}_beam_eval_wall_s"] = round(time.time() - t0, 1)
+            print(f"=== {family} {split} beam-{args.beam}"
+                  f"{' +LM' if args.lm else ''} PER {per:.4f}", flush=True)
         with open(RESULTS, "w") as f:
             json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
